@@ -1,0 +1,288 @@
+"""Typed configuration for InsMOS-TPU.
+
+Field names and defaults mirror the reference pipeline config
+(/root/reference/config/config.yaml) so a reference user can port settings
+1:1, plus TPU-specific static capacities (every array in the compiled graph
+is fixed-shape; capacities + masks replace the reference's dynamic shapes).
+
+``Config.from_yaml`` accepts both this package's flat YAML and the reference's
+nested config.yaml schema.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import yaml
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    # crop applied before the 3D UNet voxelizer (reference DATA.POINT_CLOUD_RANGE)
+    point_cloud_range: tuple[float, ...] = (-60.0, -50.0, -3.0, 60.0, 50.0, 1.0)
+    voxel_size: tuple[float, float, float] = (0.1, 0.1, 0.1)
+    transform: bool = True  # pose-align the window to the current frame
+    poses_file: str = "poses.txt"
+    shuffle: bool = True
+    num_workers: int = 4
+    delta_t_data: float = 0.1
+    split_train: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7, 9, 10)
+    split_val: tuple[int, ...] = (8,)
+    split_test: tuple[int, ...] = (8,)
+
+    @property
+    def grid_size(self) -> tuple[int, int, int]:
+        """(X, Y, Z) voxel grid dims — reference models/models.py:277-280."""
+        r = self.point_cloud_range
+        v = self.voxel_size
+        return (
+            int(round((r[3] - r[0]) / v[0])),
+            int(round((r[4] - r[1]) / v[1])),
+            int(round((r[5] - r[2]) / v[2])),
+        )
+
+
+@dataclass(frozen=True)
+class MotionNetConfig:
+    """4D motion backbone (reference models/backbones_3d/motionnet.py +
+    models/MinkowskiEngine/customminkunet.py: MinkUNet14 with
+    PLANES=(8,16,32,64,64,32,16,8), INIT_DIM=8, D=4)."""
+
+    init_dim: int = 8
+    planes: tuple[int, ...] = (8, 16, 32, 64, 64, 32, 16, 8)
+    out_channels: int = 3
+    # spatial crop for the 4D grid. The reference convolves the full uncropped
+    # cloud; we bound it by the UNet range + a receptive-field margin so all
+    # coordinates live in a fixed-capacity set. Mins are multiples of
+    # 8*voxel so integer coords stay divisible-by-stride aligned.
+    crop_range: tuple[float, ...] = (-64.0, -54.4, -7.2, 64.0, 54.4, 5.6)
+    # capacities: 4D voxels at strides 1/2/4/8
+    capacities: tuple[int, ...] = (2**20 + 2**19, 2**19, 2**18, 2**17)
+
+    @property
+    def grid_size(self) -> tuple[int, int, int]:
+        r = self.crop_range
+        return (
+            int(round((r[3] - r[0]) / 0.1)),
+            int(round((r[4] - r[1]) / 0.1)),
+            int(round((r[5] - r[2]) / 0.1)),
+        )
+
+
+@dataclass(frozen=True)
+class BEVConfig:
+    """BEV backbone (reference config.yaml:112-119 + base_bev_backbone.py)."""
+
+    num_bev_features: int = 256  # MAP_TO_BEV.NUM_BEV_FEATURES
+    layer_nums: tuple[int, ...] = (5,)
+    layer_strides: tuple[int, ...] = (1,)
+    num_filters: tuple[int, ...] = (128,)
+    upsample_strides: tuple[int, ...] = (2,)
+    num_upsample_filters: tuple[int, ...] = (256,)
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """CenterHead + target assigner (reference config.yaml:121-142)."""
+
+    num_class: int = 3
+    max_objs: int = 100
+    out_size_factor: int = 4
+    gaussian_overlap: float = 0.1
+    min_radius: int = 2
+    cls_weight: float = 1.0
+    loc_weight: float = 2.0
+    code_weights: tuple[float, ...] = (1.0,) * 8
+    # static patch half-size for vectorized gaussian splat (cap on radius)
+    max_gaussian_radius: int = 31
+
+
+@dataclass(frozen=True)
+class PostProcessConfig:
+    """NMS / recall (reference config.yaml:144-156)."""
+
+    score_thresh: float = 0.1
+    nms_thresh: float = 0.01
+    nms_pre_maxsize: int = 4096
+    nms_post_maxsize: int = 500
+    recall_thresh_list: tuple[float, ...] = (0.3, 0.5, 0.7)
+    output_raw_score: bool = False
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    delta_t_prediction: float = 0.1
+    n_past_steps: int = 10
+    use_motion_loss: bool = True
+    point_features: int = 4  # x, y, z, intensity
+    # 3D UNet encoder channels at strides 1/2/4/8 (reference spconv_unet.py:120-158)
+    unet_channels: tuple[int, ...] = (16, 32, 64, 128)
+    max_voxels: int = 100_000  # reference models/models.py:287
+    max_points_per_voxel: int = 5
+    # capacities of derived voxel sets: strided conv outputs at strides 2/4/8
+    # and the z-downsampled encoded tensor. Tuned to KITTI occupancy.
+    unet_capacities: tuple[int, ...] = (100_000, 72_000, 40_000, 20_000, 12_000)
+    motionnet: MotionNetConfig = field(default_factory=MotionNetConfig)
+    bev: BEVConfig = field(default_factory=BEVConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    post: PostProcessConfig = field(default_factory=PostProcessConfig)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    max_epoch: int = 160
+    lr: float = 1e-4
+    lr_epoch: int = 1
+    lr_decay: float = 0.99
+    weight_decay: float = 1e-4
+    batch_size: int = 1
+    acc_batches: int = 1
+    augmentation: bool = True
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """TPU execution parameters (no reference counterpart)."""
+
+    max_points_per_scan: int = 131_072  # KITTI HDL-64E ceiling
+    compute_dtype: str = "float32"  # "bfloat16" for the fast path
+    conv_chunk: int = 65_536  # row-chunk for gather-conv intermediates
+    data_axis: str = "data"  # mesh axis name for data parallelism
+
+
+@dataclass(frozen=True)
+class Config:
+    experiment_id: str = "InsMOS"
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    # ------------------------------------------------------------------ io
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                defaults = tp()
+                kw = {
+                    f.name: build(type(getattr(defaults, f.name)), val[f.name])
+                    if dataclasses.is_dataclass(getattr(defaults, f.name))
+                    else (tuple(val[f.name]) if isinstance(val[f.name], list) else val[f.name])
+                    for f in dataclasses.fields(tp)
+                    if f.name in val
+                }
+                return dataclasses.replace(defaults, **kw)
+            if isinstance(val, list):
+                return tuple(val)
+            return val
+
+        return build(cls, d)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        with open(path) as fh:
+            raw = yaml.safe_load(fh)
+        if "MODEL" in raw or "DATA" in raw:
+            return cls.from_reference_dict(raw)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_reference_dict(cls, raw: dict[str, Any]) -> "Config":
+        """Build from the reference's nested config.yaml schema."""
+        d = raw.get("DATA", {})
+        m = raw.get("MODEL", {})
+        t = raw.get("TRAIN", {})
+        head = m.get("DENSE_HEAD", {})
+        ta = head.get("TARGET_ASSIGNER_CONFIG", {})
+        lw = head.get("LOSS_CONFIG", {}).get("LOSS_WEIGHTS", {})
+        pp = m.get("POST_PROCESSING", {})
+        nms = pp.get("NMS_CONFIG", {})
+        b2 = m.get("BACKBONE_2D", {})
+        split = d.get("SPLIT", {})
+        base = cls()
+        return cls(
+            experiment_id=raw.get("EXPERIMENT", {}).get("ID", base.experiment_id),
+            data=DataConfig(
+                point_cloud_range=tuple(d.get("POINT_CLOUD_RANGE", base.data.point_cloud_range)),
+                voxel_size=tuple(d.get("VOXEL_SIZE", base.data.voxel_size)),
+                transform=d.get("TRANSFORM", True),
+                poses_file=d.get("POSES", "poses.txt"),
+                shuffle=d.get("SHUFFLE", True),
+                num_workers=d.get("NUM_WORKER", 4),
+                delta_t_data=d.get("DELTA_T_DATA", 0.1),
+                split_train=tuple(split.get("TRAIN", base.data.split_train)),
+                split_val=tuple(split.get("VAL", base.data.split_val)),
+                split_test=tuple(split.get("TEST", base.data.split_test)),
+            ),
+            model=ModelConfig(
+                delta_t_prediction=m.get("DELTA_T_PREDICTION", 0.1),
+                n_past_steps=m.get("N_PAST_STEPS", 10),
+                use_motion_loss=m.get("USE_MOTION_LOSS", True),
+                bev=BEVConfig(
+                    num_bev_features=m.get("MAP_TO_BEV", {}).get("NUM_BEV_FEATURES", 256),
+                    layer_nums=tuple(b2.get("LAYER_NUMS", (5,))),
+                    layer_strides=tuple(b2.get("LAYER_STRIDES", (1,))),
+                    num_filters=tuple(b2.get("NUM_FILTERS", (128,))),
+                    upsample_strides=tuple(b2.get("UPSAMPLE_STRIDES", (2,))),
+                    num_upsample_filters=tuple(b2.get("NUM_UPSAMPLE_FILTERS", (256,))),
+                ),
+                head=HeadConfig(
+                    num_class=head.get("NUM_CLASS", 3),
+                    max_objs=ta.get("MAX_OBJS", 100),
+                    out_size_factor=ta.get("OUT_SIZE_FACTOR", 4),
+                    gaussian_overlap=ta.get("GAUSSIAN_OVERLAP", 0.1),
+                    min_radius=ta.get("MIN_RADIUS", 2),
+                    cls_weight=lw.get("cls_weight", 1.0),
+                    loc_weight=lw.get("loc_weight", 2.0),
+                    code_weights=tuple(lw.get("code_weights", (1.0,) * 8)),
+                ),
+                post=PostProcessConfig(
+                    score_thresh=pp.get("SCORE_THRESH", 0.1),
+                    nms_thresh=nms.get("NMS_THRESH", 0.01),
+                    nms_pre_maxsize=nms.get("NMS_PRE_MAXSIZE", 4096),
+                    nms_post_maxsize=nms.get("NMS_POST_MAXSIZE", 500),
+                    recall_thresh_list=tuple(pp.get("RECALL_THRESH_LIST", (0.3, 0.5, 0.7))),
+                ),
+            ),
+            train=TrainConfig(
+                max_epoch=t.get("MAX_EPOCH", 160),
+                lr=t.get("LR", 1e-4),
+                lr_epoch=t.get("LR_EPOCH", 1),
+                lr_decay=t.get("LR_DECAY", 0.99),
+                weight_decay=t.get("WEIGHT_DECAY", 1e-4),
+                batch_size=t.get("BATCH_SIZE", 1),
+                acc_batches=t.get("ACC_BATCHES", 1),
+                augmentation=t.get("AUGMENTATION", True),
+            ),
+        )
+
+    # ------------------------------------------------------------- scaling
+    def tiny(self, *, points: int = 2048, max_voxels: int = 4096) -> "Config":
+        """A small-capacity clone for tests / compile checks."""
+        mn = dataclasses.replace(
+            self.model.motionnet,
+            capacities=(4 * points, 2 * points, points, points),
+        )
+        model = dataclasses.replace(
+            self.model,
+            max_voxels=max_voxels,
+            unet_capacities=(max_voxels,) + tuple(
+                max(256, max_voxels // (2**i)) for i in range(1, 5)
+            ),
+            motionnet=mn,
+        )
+        runtime = dataclasses.replace(self.runtime, max_points_per_scan=points)
+        return dataclasses.replace(self, model=model, runtime=runtime)
+
+
+def load_config(path: str | None = None) -> Config:
+    return Config() if path is None else Config.from_yaml(path)
