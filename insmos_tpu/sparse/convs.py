@@ -1,0 +1,161 @@
+"""Sparse convolutions as gather -> one big matmul.
+
+Replaces spconv's SubMConv3d / SparseConv3d / SparseInverseConv3d and
+MinkowskiEngine's (transpose) convolutions (SURVEY.md S2.2). Instead of
+GPU-style rulebooks, neighbours are found by binary search into the sorted
+key array and the conv itself is a single (V, K*Cin) @ (K*Cin, Cout) matmul
+that keeps the MXU busy; missing neighbours gather a zero row.
+
+Weight layout: (K, Cin, Cout) with K enumerated by
+``coords.make_offsets(kernel)`` — offsets pair positionally with weights.
+
+Site derivation is arithmetic, which removes spconv's indice_key machinery:
+- subm: output sites == input sites (SubMConv3d).
+- strided: out(o) = sum_k W[k] . in(o*s - p + k); output sites = every o
+  receiving >= 1 contribution, deduplicated (SparseConv3d).
+- inverse: out(f) = sum_k W[k] . in((f + p - k)/s) over exact divisions,
+  with the fine site set passed in explicitly — the caller hands back the
+  site set recorded before the paired strided conv, which is exactly what
+  spconv's indice_key replay reconstructs (spconv_unet.py:181-207).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coords import linearize_coords, lookup_keys, make_offsets
+from .tensor import SparseTensor
+from .voxelize import unique_voxels
+
+
+def _gather_rows(feats, idx):
+    """Gather feature rows; idx -1 -> zeros."""
+    v = feats.shape[0]
+    padded = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)])
+    return jnp.take(padded, jnp.where(idx >= 0, idx, v), axis=0)
+
+
+def gather_neighbor_idx(x: SparseTensor, query_coords) -> jax.Array:
+    """(V, K, D) neighbour coords -> (V, K) row indices into x (or -1)."""
+    qkeys = linearize_coords(query_coords, x.dims)
+    return lookup_keys(x.keys, qkeys.reshape(-1)).reshape(query_coords.shape[:-1])
+
+
+def _apply_kernel(x: SparseTensor, out_coords, out_valid, weight, stride, pad, offsets):
+    """Core gather-conv: for output site o, gather x at o*s - p + k."""
+    K, cin, cout = weight.shape
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(pad, jnp.int32)
+    offs = jnp.asarray(offsets, jnp.int32)  # (K, D)
+    centers = out_coords[:, None, :] * s[None, None] - p[None, None] + offs[None]
+    idx = gather_neighbor_idx(x, centers)  # (V, K)
+    feats = jnp.where(x.valid[:, None], x.feats, 0.0)
+    gathered = _gather_rows(feats, idx.reshape(-1)).reshape(-1, K * cin)
+    out = gathered @ weight.reshape(K * cin, cout)
+    return jnp.where(out_valid[:, None], out, 0.0)
+
+
+def subm_gather_conv(x: SparseTensor, weight, kernel_size: Sequence[int]) -> SparseTensor:
+    """Submanifold conv: output sites = input sites (spconv SubMConv3d /
+    ME MinkowskiConvolution with stride 1 and odd kernel)."""
+    offsets = make_offsets(kernel_size, centered=True)
+    feats = _apply_kernel(
+        x,
+        x.coords,
+        x.valid,
+        weight,
+        stride=np.ones(len(kernel_size), np.int32),
+        pad=np.zeros(len(kernel_size), np.int32),
+        offsets=offsets,
+    )
+    return x.replace_feats(feats)
+
+
+def strided_conv_sites(
+    x: SparseTensor,
+    kernel_size: Sequence[int],
+    stride: Sequence[int],
+    pad: Sequence[int],
+    out_dims: Sequence[int],
+    capacity: int,
+) -> SparseTensor:
+    """Derive the output site set of a strided sparse conv.
+
+    An input site i feeds outputs o with o*s - p + k = i, k in [0, kernel);
+    per dim that is the integer range ceil((i+p-k+1)/s) .. floor((i+p)/s).
+    We enumerate the <= ceil(k/s) candidates per dim and deduplicate.
+    """
+    D = len(kernel_size)
+    per_dim = [int(np.ceil(k / s)) for k, s in zip(kernel_size, stride)]
+    cand_ranges = [np.arange(c, dtype=np.int32) for c in per_dim]
+    mesh = np.meshgrid(*cand_ranges[::-1], indexing="ij")
+    cand = np.stack([m.reshape(-1) for m in mesh[::-1]], axis=-1)  # (Kc, D)
+
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(pad, jnp.int32)
+    k = jnp.asarray(kernel_size, jnp.int32)
+    i = x.coords  # (V, D)
+    # largest output index per dim: floor((i + p) / s); subsequent candidates
+    # step down by 1; validity: o*s - p <= i <= o*s - p + (k-1) and o >= 0
+    o_hi = jnp.floor_divide(i + p[None], s[None])
+    cands = o_hi[:, None, :] - jnp.asarray(cand)[None]  # (V, Kc, D)
+    lo_ok = cands * s[None, None] - p[None, None] <= i[:, None, :]
+    hi_ok = cands * s[None, None] - p[None, None] + (k[None, None] - 1) >= i[:, None, :]
+    ok = (lo_ok & hi_ok & (cands >= 0)).all(-1) & x.valid[:, None]  # (V, Kc)
+
+    flat = cands.reshape(-1, D)
+    sites, _, _, _ = unique_voxels(
+        flat, out_dims, capacity, point_valid=ok.reshape(-1), first_occurrence_cap=False
+    )
+    return sites
+
+
+def strided_conv(
+    x: SparseTensor,
+    weight,
+    kernel_size: Sequence[int],
+    stride: Sequence[int],
+    pad: Sequence[int],
+    out_sites: SparseTensor,
+) -> SparseTensor:
+    """Strided sparse conv onto precomputed output sites (spconv SparseConv3d)."""
+    offsets = make_offsets(kernel_size, centered=False)
+    feats = _apply_kernel(
+        x, out_sites.coords, out_sites.valid, weight, stride, pad, offsets
+    )
+    return out_sites.replace_feats(feats)
+
+
+def inverse_conv(
+    x: SparseTensor,
+    weight,
+    kernel_size: Sequence[int],
+    stride: Sequence[int],
+    pad: Sequence[int],
+    fine_sites: SparseTensor,
+) -> SparseTensor:
+    """Inverse of a strided conv: scatter coarse features back onto the
+    recorded fine site set (spconv SparseInverseConv3d / ME transpose conv).
+
+    out(f) = sum_k W[k] . x((f + p - k)/s) for exact integer divisions.
+    """
+    K, cin, cout = weight.shape
+    offs = jnp.asarray(make_offsets(kernel_size, centered=False), jnp.int32)
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(pad, jnp.int32)
+    f = fine_sites.coords  # (V, D)
+    num = f[:, None, :] + p[None, None] - offs[None]  # (V, K, D)
+    q, r = jnp.divmod(num, s[None, None])
+    exact = (r == 0).all(-1)  # (V, K)
+    qkeys = linearize_coords(q, x.dims)
+    idx = lookup_keys(x.keys, qkeys.reshape(-1)).reshape(exact.shape)
+    idx = jnp.where(exact, idx, -1)
+    feats = jnp.where(x.valid[:, None], x.feats, 0.0)
+    gathered = _gather_rows(feats, idx.reshape(-1)).reshape(-1, K * cin)
+    out = gathered @ weight.reshape(K * cin, cout)
+    out = jnp.where(fine_sites.valid[:, None], out, 0.0)
+    return fine_sites.replace_feats(out)
