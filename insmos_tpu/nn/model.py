@@ -1,0 +1,114 @@
+"""The full InsMOS model: MotionNet -> voxelize -> UNetV2 + detection +
+instance fusion -> per-point MOS logits.
+
+Composition mirrors InsMOS_Model (reference models/models.py:269-377) but as
+one pure jittable function over fixed-shape padded arrays; the reference's
+per-sample python loop becomes vmap/shard_map at the training-step level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..sparse import devoxelize, voxelize_points
+from .bev_backbone import bev_backbone_forward, init_bev_backbone
+from .center_head import center_head_forward, decode_and_nms, init_center_head
+from .minkunet4d import init_motionnet, motionnet_forward
+from .unet3d import init_unet3d, unet3d_forward
+
+
+@dataclass
+class InsMOSModel:
+    """Bundles init/apply for the whole pipeline."""
+
+    cfg: Config
+
+    def init(self, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        mp, ms = init_motionnet(k1, self.cfg)
+        up, us = init_unet3d(k2, self.cfg)
+        bp, bs = init_bev_backbone(k3, self.cfg)
+        hp = init_center_head(k4, self.cfg)
+        params = {"motion": mp, "unet": up, "bev": bp, "head": hp}
+        state = {"motion": ms, "unet": us, "bev": bs}
+        return params, state
+
+    def forward(self, params, state, sample: dict, *, train: bool) -> dict:
+        """sample: dict of one WindowSample's arrays (no batch dim).
+
+        Returns a dict with per-point MOS logits for the current scan,
+        motion logits, detection outputs, and the new BN state.
+        """
+        cfg = self.cfg
+        points = sample["points"]  # (W, P, 4)
+        W, P = points.shape[:2]
+        point_valid = (
+            jnp.arange(P)[None, :] < sample["num_points"][:, None]
+        ) & sample["scan_mask"][:, None]
+
+        motion_cur, _, ns_motion = motionnet_forward(
+            params["motion"], state["motion"], cfg, points, point_valid, train=train
+        )
+
+        current = points[W - 1]  # (P, 4)
+        cur_valid = point_valid[W - 1]
+        current7 = jnp.concatenate([current, motion_cur], axis=-1)
+
+        vox, p2v = voxelize_points(
+            current7,
+            cur_valid,
+            cfg.data.point_cloud_range,
+            cfg.data.voxel_size,
+            cfg.data.grid_size,
+            cfg.model.unet_capacities[0],
+            cfg.model.max_points_per_voxel,
+        )
+
+        det: dict[str, Any] = {}
+
+        def boxes_fn(bev):
+            feat, ns_bev = bev_backbone_forward(
+                params["bev"], state["bev"], cfg, bev, train=train
+            )
+            cls_map, box_map = center_head_forward(params["head"], feat)
+            boxes8, scores, labels, mask = decode_and_nms(cfg, cls_map, box_map)
+            det.update(
+                ns_bev=ns_bev,
+                cls_map=cls_map,
+                box_map=box_map,
+                boxes=boxes8,
+                scores=scores,
+                labels=labels,
+                box_mask=mask,
+            )
+            # fusion sees detached boxes (reference clones+detaches,
+            # spconv_unet.py:322); gradients reach the head via the maps.
+            return jax.lax.stop_gradient(boxes8), jax.lax.stop_gradient(mask)
+
+        mos_vox_logits, _bev, ns_unet = unet3d_forward(
+            params["unet"], state["unet"], cfg, vox, boxes_fn, train=train
+        )
+        point_logits = devoxelize(mos_vox_logits, p2v)  # (P, 3)
+
+        return {
+            "point_logits": point_logits,
+            "motion_logits": motion_cur,
+            "point_valid": cur_valid,
+            "pc_voxel_id": p2v,
+            "cls_map": det["cls_map"],
+            "box_map": det["box_map"],
+            "boxes": det["boxes"],
+            "scores": det["scores"],
+            "labels": det["labels"],
+            "box_mask": det["box_mask"],
+            "new_state": {
+                "motion": ns_motion,
+                "unet": ns_unet,
+                "bev": det["ns_bev"],
+            },
+        }

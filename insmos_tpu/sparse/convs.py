@@ -45,21 +45,43 @@ def gather_neighbor_idx(x: SparseTensor, query_coords) -> jax.Array:
     return lookup_keys(x.keys, qkeys.reshape(-1)).reshape(query_coords.shape[:-1])
 
 
-def _apply_kernel(x: SparseTensor, out_coords, out_valid, weight, stride, pad, offsets):
-    """Core gather-conv: for output site o, gather x at o*s - p + k."""
+def _apply_kernel(
+    x: SparseTensor, out_coords, out_valid, weight, stride, pad, offsets, chunk=None
+):
+    """Core gather-conv: for output site o, gather x at o*s - p + k.
+
+    `chunk` bounds live memory: the (rows, K, Cin) gathered block and the
+    (rows, K) index block are materialized per chunk of output rows via a
+    sequential lax.map — essential for the 4D MotionNet where K is 81-125
+    and V is ~1.5M.
+    """
     K, cin, cout = weight.shape
     s = jnp.asarray(stride, jnp.int32)
     p = jnp.asarray(pad, jnp.int32)
     offs = jnp.asarray(offsets, jnp.int32)  # (K, D)
-    centers = out_coords[:, None, :] * s[None, None] - p[None, None] + offs[None]
-    idx = gather_neighbor_idx(x, centers)  # (V, K)
     feats = jnp.where(x.valid[:, None], x.feats, 0.0)
-    gathered = _gather_rows(feats, idx.reshape(-1)).reshape(-1, K * cin)
-    out = gathered @ weight.reshape(K * cin, cout)
-    return jnp.where(out_valid[:, None], out, 0.0)
+    w2 = weight.reshape(K * cin, cout)
+
+    def run(rows_coords, rows_valid):
+        centers = rows_coords[:, None, :] * s[None, None] - p[None, None] + offs[None]
+        idx = gather_neighbor_idx(x, centers)  # (rows, K)
+        gathered = _gather_rows(feats, idx.reshape(-1)).reshape(-1, K * cin)
+        out = gathered @ w2
+        return jnp.where(rows_valid[:, None], out, 0.0)
+
+    V = out_coords.shape[0]
+    if chunk is None or V <= chunk:
+        return run(out_coords, out_valid)
+    assert V % chunk == 0, f"capacity {V} not divisible by chunk {chunk}"
+    cc = out_coords.reshape(V // chunk, chunk, -1)
+    cv = out_valid.reshape(V // chunk, chunk)
+    out = jax.lax.map(lambda args: run(*args), (cc, cv))
+    return out.reshape(V, cout)
 
 
-def subm_gather_conv(x: SparseTensor, weight, kernel_size: Sequence[int]) -> SparseTensor:
+def subm_gather_conv(
+    x: SparseTensor, weight, kernel_size: Sequence[int], chunk=None
+) -> SparseTensor:
     """Submanifold conv: output sites = input sites (spconv SubMConv3d /
     ME MinkowskiConvolution with stride 1 and odd kernel)."""
     offsets = make_offsets(kernel_size, centered=True)
@@ -71,6 +93,7 @@ def subm_gather_conv(x: SparseTensor, weight, kernel_size: Sequence[int]) -> Spa
         stride=np.ones(len(kernel_size), np.int32),
         pad=np.zeros(len(kernel_size), np.int32),
         offsets=offsets,
+        chunk=chunk,
     )
     return x.replace_feats(feats)
 
@@ -121,11 +144,12 @@ def strided_conv(
     stride: Sequence[int],
     pad: Sequence[int],
     out_sites: SparseTensor,
+    chunk=None,
 ) -> SparseTensor:
     """Strided sparse conv onto precomputed output sites (spconv SparseConv3d)."""
     offsets = make_offsets(kernel_size, centered=False)
     feats = _apply_kernel(
-        x, out_sites.coords, out_sites.valid, weight, stride, pad, offsets
+        x, out_sites.coords, out_sites.valid, weight, stride, pad, offsets, chunk=chunk
     )
     return out_sites.replace_feats(feats)
 
@@ -137,6 +161,7 @@ def inverse_conv(
     stride: Sequence[int],
     pad: Sequence[int],
     fine_sites: SparseTensor,
+    chunk=None,
 ) -> SparseTensor:
     """Inverse of a strided conv: scatter coarse features back onto the
     recorded fine site set (spconv SparseInverseConv3d / ME transpose conv).
@@ -147,15 +172,26 @@ def inverse_conv(
     offs = jnp.asarray(make_offsets(kernel_size, centered=False), jnp.int32)
     s = jnp.asarray(stride, jnp.int32)
     p = jnp.asarray(pad, jnp.int32)
-    f = fine_sites.coords  # (V, D)
-    num = f[:, None, :] + p[None, None] - offs[None]  # (V, K, D)
-    q, r = jnp.divmod(num, s[None, None])
-    exact = (r == 0).all(-1)  # (V, K)
-    qkeys = linearize_coords(q, x.dims)
-    idx = lookup_keys(x.keys, qkeys.reshape(-1)).reshape(exact.shape)
-    idx = jnp.where(exact, idx, -1)
     feats = jnp.where(x.valid[:, None], x.feats, 0.0)
-    gathered = _gather_rows(feats, idx.reshape(-1)).reshape(-1, K * cin)
-    out = gathered @ weight.reshape(K * cin, cout)
-    out = jnp.where(fine_sites.valid[:, None], out, 0.0)
+    w2 = weight.reshape(K * cin, cout)
+
+    def run(f_coords, f_valid):
+        num = f_coords[:, None, :] + p[None, None] - offs[None]  # (rows, K, D)
+        q, r = jnp.divmod(num, s[None, None])
+        exact = (r == 0).all(-1)  # (rows, K)
+        qkeys = linearize_coords(q, x.dims)
+        idx = lookup_keys(x.keys, qkeys.reshape(-1)).reshape(exact.shape)
+        idx = jnp.where(exact, idx, -1)
+        gathered = _gather_rows(feats, idx.reshape(-1)).reshape(-1, K * cin)
+        out = gathered @ w2
+        return jnp.where(f_valid[:, None], out, 0.0)
+
+    V = fine_sites.capacity
+    if chunk is None or V <= chunk:
+        out = run(fine_sites.coords, fine_sites.valid)
+    else:
+        assert V % chunk == 0, f"capacity {V} not divisible by chunk {chunk}"
+        cc = fine_sites.coords.reshape(V // chunk, chunk, -1)
+        cv = fine_sites.valid.reshape(V // chunk, chunk)
+        out = jax.lax.map(lambda args: run(*args), (cc, cv)).reshape(V, cout)
     return fine_sites.replace_feats(out)

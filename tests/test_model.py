@@ -1,0 +1,79 @@
+"""End-to-end model forward on a tiny config + synthetic data."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from insmos_tpu.config import Config, DataConfig, ModelConfig, MotionNetConfig
+from insmos_tpu.data import KittiWindowDataset
+from insmos_tpu.nn import InsMOSModel
+
+
+def tiny_config(window: int = 4) -> Config:
+    base = Config()
+    return dataclasses.replace(
+        base,
+        data=DataConfig(point_cloud_range=(-6.4, -6.4, -3.0, 6.4, 6.4, 1.0)),
+        model=dataclasses.replace(
+            base.model,
+            n_past_steps=window,
+            max_voxels=4096,
+            unet_capacities=(4096, 2048, 1024, 512, 512),
+            motionnet=MotionNetConfig(
+                crop_range=(-8.0, -8.0, -4.0, 8.0, 8.0, 4.8),
+                capacities=(8192, 4096, 2048, 1024),
+            ),
+        ),
+        runtime=dataclasses.replace(base.runtime, max_points_per_scan=2048),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    from insmos_tpu.data.synthetic import write_synthetic_sequence
+
+    root = tmp_path_factory.mktemp("kitti_tiny")
+    write_synthetic_sequence(str(root), seq=8, n_scans=6, seed=3)
+    cfg = tiny_config()
+    ds = KittiWindowDataset(cfg, "val", root_dir=str(root), sequences=[8])
+    model = InsMOSModel(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    return cfg, ds, model, params, state
+
+
+def test_forward_shapes_and_masks(tiny_setup):
+    cfg, ds, model, params, state = tiny_setup
+    sample = ds[0].arrays()
+    fwd = jax.jit(lambda p, s, x: model.forward(p, s, x, train=False))
+    out = fwd(params, state, sample)
+    P = cfg.runtime.max_points_per_scan
+    assert out["point_logits"].shape == (P, 3)
+    assert out["motion_logits"].shape == (P, 3)
+    gx, gy, _ = cfg.data.grid_size
+    f = cfg.model.head.out_size_factor
+    assert out["cls_map"].shape == (gy // f, gx // f, 3)
+    assert out["box_map"].shape == (gy // f, gx // f, 8)
+    assert out["boxes"].shape == (cfg.model.post.nms_post_maxsize, 8)
+    assert np.isfinite(np.asarray(out["point_logits"])).all()
+    # logits must be non-trivial on valid points
+    valid = np.asarray(out["point_valid"])
+    logits = np.asarray(out["point_logits"])[valid]
+    assert np.abs(logits).max() > 0
+
+    # state structure preserved
+    flat_old = jax.tree_util.tree_structure(state)
+    flat_new = jax.tree_util.tree_structure(out["new_state"])
+    assert flat_old == flat_new
+
+
+def test_forward_train_mode_updates_state(tiny_setup):
+    cfg, ds, model, params, state = tiny_setup
+    sample = ds[0].arrays()
+    fwd = jax.jit(lambda p, s, x: model.forward(p, s, x, train=True))
+    out = fwd(params, state, sample)
+    old = np.asarray(state["unet"]["conv_input"]["bn"]["mean"])
+    new = np.asarray(out["new_state"]["unet"]["conv_input"]["bn"]["mean"])
+    assert not np.allclose(old, new)
