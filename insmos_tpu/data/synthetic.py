@@ -67,6 +67,8 @@ def write_synthetic_sequence(
     seed: int = 0,
     dt: float = 0.1,
     ego_speed: float = 2.0,
+    n_ground: int = 4000,
+    n_per_obj: int = 220,
 ) -> str:
     """Create `<root>/<seq:02d>/...`; returns the sequence directory."""
     rng = np.random.default_rng(seed)
@@ -88,7 +90,9 @@ def write_synthetic_sequence(
     for i in range(n_scans):
         t = i * dt
         ego_xy = np.array([ego_speed * t, 0.0])
-        world_pts, labels = _render_scan(rng, ego_xy, pillars, movers, t)
+        world_pts, labels = _render_scan(
+            rng, ego_xy, pillars, movers, t, n_ground=n_ground, n_per_obj=n_per_obj
+        )
         # LiDAR frame = world shifted by ego position
         lidar_pts = world_pts.copy()
         lidar_pts[:, 0] -= ego_xy[0]

@@ -1,0 +1,129 @@
+"""Train / eval steps: batched (vmap), differentiable, shardable.
+
+The reference iterates samples in a python loop and averages losses
+(models/models.py:313,336,367); here the batch is a real array dimension:
+vmap over the model forward, mean losses, one optimizer update. Data
+parallelism is the same function under a Mesh with the batch dim sharded
+(see insmos_tpu.parallel.mesh).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..nn.model import InsMOSModel
+from .loss import gaussian_focal_loss, mos_loss, reg_l1_loss
+from .metrics import confusion_matrix, detection_recall
+from .targets import assign_targets
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: Any
+    state: Any  # BN running stats
+    opt_state: Any
+    step: jax.Array
+
+
+def sample_losses(model: InsMOSModel, params, state, sample, *, train: bool):
+    """Per-sample forward + all four losses (reference models.py:322-336)."""
+    cfg = model.cfg
+    out = model.forward(params, state, sample, train=train)
+    W = sample["points"].shape[0]
+    labels = sample["labels"][W - 1]
+    valid = out["point_valid"]
+
+    l_motion = mos_loss(out["motion_logits"], labels, valid)
+    l_mos = mos_loss(out["point_logits"], labels, valid)
+
+    tgt = assign_targets(cfg, sample["gt_boxes"], sample["num_boxes"])
+    l_cls = gaussian_focal_loss(out["cls_map"], tgt["heatmap"]) * cfg.model.head.cls_weight
+    l_box = (
+        reg_l1_loss(
+            out["box_map"], tgt["anno"], tgt["inds"], tgt["mask"],
+            cfg.model.head.code_weights,
+        )
+        * cfg.model.head.loc_weight
+    )
+    total = l_cls + l_box + l_mos
+    if cfg.model.use_motion_loss:
+        total = total + l_motion
+
+    cm = confusion_matrix(out["point_logits"], labels, valid)
+    aux = {
+        "loss": total,
+        "cls_loss": l_cls,
+        "box_loss": l_box,
+        "mos_loss": l_mos,
+        "motion_loss": l_motion,
+        "confusion": cm,
+        "new_state": out["new_state"],
+    }
+    return total, aux, out
+
+
+def make_train_step(model: InsMOSModel, tx: optax.GradientTransformation) -> Callable:
+    """Returns jitted (TrainState, batch) -> (TrainState, metrics)."""
+
+    def loss_fn(params, state, batch):
+        def one(sample):
+            total, aux, _ = sample_losses(model, params, state, sample, train=True)
+            return total, aux
+
+        totals, auxs = jax.vmap(one)(batch)
+        loss = totals.mean()
+        return loss, auxs
+
+    @jax.jit
+    def step(ts: TrainState, batch):
+        (loss, auxs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, ts.state, batch
+        )
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        # average per-sample BN stats across the batch
+        new_state = jax.tree.map(lambda x: x.mean(axis=0), auxs.pop("new_state"))
+        metrics = {
+            k: (v.sum(0) if k == "confusion" else v.mean()) for k, v in auxs.items()
+        }
+        metrics["loss"] = loss
+        return TrainState(new_params, new_state, new_opt, ts.step + 1), metrics
+
+    return step
+
+
+def make_eval_step(model: InsMOSModel) -> Callable:
+    """Returns jitted (params, state, batch) -> metrics incl. recall."""
+    cfg = model.cfg
+    thresh = cfg.model.post.recall_thresh_list
+
+    @jax.jit
+    def step(params, state, batch):
+        def one(sample):
+            total, aux, out = sample_losses(model, params, state, sample, train=False)
+            rec = detection_recall(
+                out["boxes"][:, :7], out["box_mask"],
+                sample["gt_boxes"], sample["num_boxes"], thresh,
+            )
+            return {
+                "val_loss": aux["mos_loss"],
+                "val_motion_loss": aux["motion_loss"],
+                "confusion": aux["confusion"],
+                **rec,
+            }
+
+        m = jax.vmap(one)(batch)
+        return {
+            k: (v.sum(0) if k == "confusion" or k.startswith(("rcnn", "gt")) else v.mean())
+            for k, v in m.items()
+        }
+
+    return step

@@ -1,0 +1,187 @@
+"""Training layer: loss parity vs torch, targets vs loop oracle, train step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from insmos_tpu.config import Config
+from insmos_tpu.train.loss import gaussian_focal_loss, mos_loss, reg_l1_loss
+from insmos_tpu.train.metrics import (
+    confusion_matrix,
+    detection_recall,
+    iou_from_confusion,
+)
+from insmos_tpu.train.targets import assign_targets
+
+
+# ----------------------------------------------------------------- mos loss
+def _torch_mos_loss(logits, labels):
+    """The reference MOSLoss semantics expressed with torch built-ins."""
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.tensor(np.array(logits), dtype=torch.float64)
+    y = torch.tensor(np.array(labels), dtype=torch.long)
+    t[:, 0] = -float("inf")
+    sm = F.softmax(t, dim=1)
+    logsm = torch.log(sm.clamp(min=1e-8))
+    w = torch.tensor([0.0, 0.5, 0.5], dtype=torch.float64)
+    return float(F.nll_loss(logsm, y, weight=w))
+
+
+def test_mos_loss_matches_torch(rng):
+    logits = rng.normal(size=(64, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=64).astype(np.int32)
+    got = float(mos_loss(jnp.asarray(logits), jnp.asarray(labels), jnp.ones(64, bool)))
+    exp = _torch_mos_loss(logits, labels)
+    assert got == pytest.approx(exp, rel=1e-5)
+
+
+def test_mos_loss_padding_is_neutral(rng):
+    logits = rng.normal(size=(32, 3)).astype(np.float32)
+    labels = rng.integers(1, 3, size=32).astype(np.int32)
+    base = float(mos_loss(jnp.asarray(logits), jnp.asarray(labels), jnp.ones(32, bool)))
+    # append garbage rows marked invalid
+    logits2 = np.vstack([logits, rng.normal(size=(8, 3)).astype(np.float32)])
+    labels2 = np.concatenate([labels, np.full(8, 2, np.int32)])
+    valid2 = np.concatenate([np.ones(32, bool), np.zeros(8, bool)])
+    got = float(mos_loss(jnp.asarray(logits2), jnp.asarray(labels2), jnp.asarray(valid2)))
+    assert got == pytest.approx(base, rel=1e-6)
+
+
+# ------------------------------------------------------------- focal + l1
+def test_gaussian_focal_loss_reference_formula(rng):
+    H, W, C = 8, 10, 3
+    logits = rng.normal(size=(H, W, C)).astype(np.float32)
+    heat = np.zeros((C, H, W), np.float32)
+    heat[0, 2, 3] = 1.0
+    heat[1, 4, 5] = 0.5
+    got = float(gaussian_focal_loss(jnp.asarray(logits), jnp.asarray(heat)))
+
+    pred = np.clip(1 / (1 + np.exp(-logits.transpose(2, 0, 1))), 1e-4, 1 - 1e-4)
+    pos_w = (heat == 1).astype(np.float64)
+    neg_w = (1 - heat) ** 4
+    pos = -np.log(pred + 1e-12) * (1 - pred) ** 2 * pos_w
+    neg = -np.log(1 - pred + 1e-12) * pred**2 * neg_w
+    exp = (pos + neg).sum() / max(pos_w.sum(), 1)
+    assert got == pytest.approx(exp, rel=1e-4)
+
+
+def test_reg_l1_loss(rng):
+    H, W = 6, 8
+    box_map = rng.normal(size=(H, W, 8)).astype(np.float32)
+    anno = rng.normal(size=(4, 8)).astype(np.float32)
+    inds = np.array([3, 10, 17, 0], np.int32)
+    mask = np.array([True, True, False, False])
+    got = float(
+        reg_l1_loss(
+            jnp.asarray(box_map), jnp.asarray(anno), jnp.asarray(inds),
+            jnp.asarray(mask), (1.0,) * 8,
+        )
+    )
+    flat = box_map.reshape(-1, 8)
+    exp = (
+        np.abs(flat[inds[:2]] - anno[:2]).sum() / (2 + 1e-4)
+    )
+    assert got == pytest.approx(exp, rel=1e-5)
+
+
+# ---------------------------------------------------------------- targets
+def test_assign_targets_matches_loop_oracle():
+    cfg = Config()
+    gt = np.zeros((100, 8), np.float32)
+    boxes = np.array(
+        [
+            [10.0, 5.0, -1.0, 4.5, 1.9, 1.6, 0.3, 1],
+            [-20.0, -12.0, -0.8, 0.8, 0.8, 1.7, 0.0, 2],
+            [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0],  # fake static box -> skipped
+        ],
+        np.float32,
+    )
+    gt[:3] = boxes
+    out = assign_targets(cfg, jnp.asarray(gt), jnp.int32(3))
+    heat = np.asarray(out["heatmap"])
+    mask = np.asarray(out["mask"])
+    inds = np.asarray(out["inds"])
+    anno = np.asarray(out["anno"])
+
+    np.testing.assert_array_equal(mask[:3], [True, True, False])
+    assert not mask[3:].any()
+
+    # oracle for box 0
+    f = cfg.model.head.out_size_factor
+    W = cfg.data.grid_size[0] // f
+    cx = int((10.0 - (-60)) / 0.1 / f)
+    cy = int((5.0 - (-50)) / 0.1 / f)
+    assert inds[0] == cy * W + cx
+    assert heat[0, cy, cx] == pytest.approx(1.0)
+    np.testing.assert_allclose(
+        anno[0],
+        [
+            (10.0 + 60) / 0.1 / f - cx,
+            (5.0 + 50) / 0.1 / f - cy,
+            -1.0,
+            np.log(4.5),
+            np.log(1.9),
+            np.log(1.6),
+            np.sin(0.3),
+            np.cos(0.3),
+        ],
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    # pedestrian peak on its own class channel
+    assert heat[1].max() == pytest.approx(1.0)
+    assert heat[2].max() == 0.0
+
+
+# ---------------------------------------------------------------- metrics
+def test_confusion_matrix_and_iou():
+    logits = np.array(
+        [
+            [9.9, 0.1, 0.0],  # unlabeled logit ignored -> argmax of rest
+            [0.0, 5.0, 1.0],  # pred 1
+            [0.0, 1.0, 5.0],  # pred 2
+            [0.0, 5.0, 1.0],  # pred 1, gt 2
+        ],
+        np.float32,
+    )
+    labels = np.array([1, 1, 2, 2], np.int32)
+    cm = np.asarray(
+        confusion_matrix(jnp.asarray(logits), jnp.asarray(labels), jnp.ones(4, bool))
+    )
+    # row = pred, col = gt; class-0 logits are ignored so nothing predicts 0
+    assert cm.sum() == 4
+    assert cm[1, 1] == 2 and cm[2, 2] == 1 and cm[1, 2] == 1
+    iou = np.asarray(iou_from_confusion(jnp.asarray(cm)))
+    assert iou[1] == pytest.approx(2 / 3, rel=1e-5)  # tp2 fp1 fn0
+    assert iou[2] == pytest.approx(1 / 2, rel=1e-5)  # tp1 fp0 fn1
+
+
+def test_detection_recall():
+    gt = np.zeros((5, 8), np.float32)
+    gt[0] = [0, 0, 0, 4, 2, 1.5, 0, 1]
+    gt[1] = [20, 0, 0, 4, 2, 1.5, 0, 1]
+    pred = np.zeros((3, 7), np.float32)
+    pred[0] = [0.1, 0, 0, 4, 2, 1.5, 0]  # high-iou match of gt0
+    pred[1] = [50, 50, 0, 4, 2, 1.5, 0]  # matches nothing
+    rec = detection_recall(
+        jnp.asarray(pred), jnp.asarray([True, True, False]),
+        jnp.asarray(gt), jnp.int32(2), (0.3, 0.5, 0.7),
+    )
+    assert int(rec["gt"]) == 2
+    assert int(rec["rcnn_0.3"]) == 1
+    assert int(rec["rcnn_0.7"]) == 1 or int(rec["rcnn_0.7"]) == 0  # iou ~0.9
+
+
+def test_detection_recall_trailing_zero_rows():
+    gt = np.zeros((3, 8), np.float32)
+    pred = np.zeros((2, 7), np.float32)
+    rec = detection_recall(
+        jnp.asarray(pred), jnp.zeros(2, bool), jnp.asarray(gt), jnp.int32(3),
+        (0.3,),
+    )
+    assert int(rec["gt"]) == 0
