@@ -193,6 +193,9 @@ class KittiWindowDataset:
         past_indices = list(range(from_idx, scan_idx + 1, self.skip))
         files = self.filenames[seq][from_idx : scan_idx + 1 : self.skip]
 
+        if not self.with_labels and not self.augment:
+            return self._getitem_native(seq, scan_idx, past_indices, files)
+
         scans = [read_point_cloud(f) for f in files]
         if self.cfg.data.transform:
             to_pose = self.poses[seq][past_indices[-1]]
@@ -251,5 +254,39 @@ class KittiWindowDataset:
             labels=labels,
             gt_boxes=gt_boxes,
             max_boxes=self.cfg.model.head.max_objs,
+            meta=(seq, scan_idx, past_indices),
+        )
+
+    def _getitem_native(self, seq, scan_idx, past_indices, files) -> WindowSample:
+        """Label-free fast path: parallel native read + pose-align straight
+        into the padded window buffer (numpy fallback inside)."""
+        from .. import native
+
+        cap = self.cfg.runtime.max_points_per_scan
+        n = len(files)
+        if self.cfg.data.transform:
+            to_pose = self.poses[seq][past_indices[-1]]
+            inv_to = np.linalg.inv(to_pose)
+            tfs = np.stack(
+                [inv_to @ self.poses[seq][i] for i in past_indices]
+            ).astype(np.float32)
+        else:
+            tfs = np.stack([np.eye(4, dtype=np.float32)] * n)
+        buf, counts = native.load_window(files, tfs, cap)
+
+        W = self.slots
+        points = np.zeros((W, cap, 4), np.float32)
+        num_points = np.zeros((W,), np.int32)
+        scan_mask = np.zeros((W,), bool)
+        points[W - n :] = buf
+        num_points[W - n :] = counts
+        scan_mask[W - n :] = True
+        return WindowSample(
+            points=points,
+            num_points=num_points,
+            scan_mask=scan_mask,
+            labels=np.zeros((W, cap), np.int32),
+            gt_boxes=np.zeros((self.cfg.model.head.max_objs, 8), np.float32),
+            num_boxes=np.int32(0),
             meta=(seq, scan_idx, past_indices),
         )

@@ -152,3 +152,34 @@ def test_make_window_sample_truncation():
     s = make_window_sample(scans, capacity=32, window=2)
     assert s.num_points[1] == 32
     assert s.scan_mask.tolist() == [False, True]
+
+
+def test_native_fast_path_matches_numpy(synthetic_root):
+    """Label-free dataset path (native loader) == generic numpy path."""
+    cfg = Config().tiny(points=8192)
+    ds_fast = KittiWindowDataset(
+        cfg, "test", root_dir=synthetic_root, sequences=[8], with_labels=False
+    )
+    s_fast = ds_fast[2]
+    # generic path: force with_labels then compare the raw padded points
+    ds_ref = KittiWindowDataset(
+        cfg, "test", root_dir=synthetic_root, sequences=[8], with_labels=False
+    )
+    ds_ref._getitem_native = None  # guard: call the numpy assembly manually
+    from insmos_tpu.data.kitti import read_point_cloud, transform_point_cloud
+    from insmos_tpu.data.sample import make_window_sample
+
+    seq, scan_idx, past = s_fast.meta
+    files = ds_fast.filenames[seq][past[0] : scan_idx + 1]
+    scans = [read_point_cloud(f) for f in files]
+    to_pose = ds_fast.poses[seq][past[-1]]
+    for i, pts in enumerate(scans):
+        pts[:, :3] = transform_point_cloud(
+            pts[:, :3], ds_fast.poses[seq][past[i]], to_pose
+        )
+    s_np = make_window_sample(
+        scans, capacity=cfg.runtime.max_points_per_scan,
+        window=cfg.model.n_past_steps,
+    )
+    np.testing.assert_array_equal(s_fast.num_points, s_np.num_points)
+    np.testing.assert_allclose(s_fast.points, s_np.points, atol=2e-5)
