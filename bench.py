@@ -68,20 +68,27 @@ def main():
 
     def fwd(params, state, sample):
         out = model.forward(params, state, sample, train=False)
-        return out["point_logits"], out["boxes"], out["scores"], out["box_mask"]
+        # scalar digest: forces full execution but keeps the host fetch tiny
+        # (block_until_ready alone under-reports on remote-attached runtimes)
+        return (
+            out["point_logits"].sum()
+            + out["boxes"].sum()
+            + out["scores"].sum()
+            + out["box_mask"].sum()
+        )
 
     fwd = jax.jit(fwd)
     windows = [make_window(cfg, seed=s) for s in range(3)]
 
-    # warm-up / compile
-    jax.block_until_ready(fwd(params, state, windows[0]))
-    jax.block_until_ready(fwd(params, state, windows[1]))
+    # warm-up / compile; fetch to force completion
+    float(fwd(params, state, windows[0]))
+    float(fwd(params, state, windows[1]))
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fwd(params, state, windows[i % len(windows)])
-    jax.block_until_ready(out)
+        digest = fwd(params, state, windows[i % len(windows)])
+    float(digest)  # device executes in order: last digest fences all iters
     dt = time.perf_counter() - t0
 
     scans_per_sec = iters / dt

@@ -29,8 +29,8 @@ def init_conv_bn(key, kernel, cin, cout):
     return {"conv": p, "bn": bn_p}, {"bn": bn_s}
 
 
-def subm_block(p, s, x: SparseTensor, kernel, *, train, bn_args, chunk=None):
-    y = subm_gather_conv(x, p["conv"]["w"], kernel, chunk=chunk)
+def subm_block(p, s, x: SparseTensor, kernel, *, train, bn_args, chunk=None, table=None):
+    y = subm_gather_conv(x, p["conv"]["w"], kernel, chunk=chunk, table=table)
     f, bn_s = batch_norm(p["bn"], s["bn"], y.feats, train=train, mask=y.valid, **bn_args)
     return y.replace_feats(relu(f)), {"bn": bn_s}
 
@@ -69,12 +69,16 @@ def init_basic_block(key, kernel, cin, cout, downsample: bool):
     return params, state
 
 
-def basic_block(p, s, x: SparseTensor, kernel, *, train, bn_args, chunk=None):
+def basic_block(p, s, x: SparseTensor, kernel, *, train, bn_args, chunk=None, table=None):
     ns = {}
-    y = subm_gather_conv(x, p["conv1"]["w"], kernel, chunk=chunk)
+    if table is None:
+        from ..sparse import neighbor_table
+
+        table = neighbor_table(x, kernel, chunk=chunk)
+    y = subm_gather_conv(x, p["conv1"]["w"], kernel, chunk=chunk, table=table)
     f, ns["bn1"] = batch_norm(p["bn1"], s["bn1"], y.feats, train=train, mask=y.valid, **bn_args)
     y = y.replace_feats(relu(f))
-    y = subm_gather_conv(y, p["conv2"]["w"], kernel, chunk=chunk)
+    y = subm_gather_conv(y, p["conv2"]["w"], kernel, chunk=chunk, table=table)
     f, ns["bn2"] = batch_norm(p["bn2"], s["bn2"], y.feats, train=train, mask=y.valid, **bn_args)
 
     if "down" in p:

@@ -30,7 +30,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..sparse import SparseTensor, devoxelize, strided_conv_sites, unique_voxels
+from ..sparse import (
+    SparseTensor,
+    devoxelize,
+    neighbor_table,
+    strided_conv_sites,
+    unique_voxels,
+)
 from ..sparse.convs import strided_conv
 from .blocks import (
     basic_block,
@@ -134,14 +140,20 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
     y, ns["down1"] = strided_block(
         params["down1"], state["down1"], out_p1, _K_DOWN, _S_DOWN, _P0, s2, **bn
     )
-    out_b1, ns["block1"] = basic_block(params["block1"], state["block1"], y, _K_BLOCK, **bn)
+    tbl2 = neighbor_table(y, _K_BLOCK, chunk=chunk)
+    out_b1, ns["block1"] = basic_block(
+        params["block1"], state["block1"], y, _K_BLOCK, table=tbl2, **bn
+    )
 
     d4 = _level_dims(dims4, 4)
     s4 = strided_conv_sites(out_b1, _K_DOWN, _S_DOWN, _P0, d4, caps[2])
     y, ns["down2"] = strided_block(
         params["down2"], state["down2"], out_b1, _K_DOWN, _S_DOWN, _P0, s4, **bn
     )
-    out_b2, ns["block2"] = basic_block(params["block2"], state["block2"], y, _K_BLOCK, **bn)
+    tbl4 = neighbor_table(y, _K_BLOCK, chunk=chunk)
+    out_b2, ns["block2"] = basic_block(
+        params["block2"], state["block2"], y, _K_BLOCK, table=tbl4, **bn
+    )
 
     d8 = _level_dims(dims4, 8)
     s8 = strided_conv_sites(out_b2, _K_DOWN, _S_DOWN, _P0, d8, caps[3])
@@ -154,13 +166,13 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         params["up5"], state["up5"], y, _K_DOWN, _S_DOWN, _P0, out_b2.sites(), **bn
     )
     y, ns["block6"] = basic_block(
-        params["block6"], state["block6"], _cat(y, out_b2), _K_BLOCK, **bn
+        params["block6"], state["block6"], _cat(y, out_b2), _K_BLOCK, table=tbl4, **bn
     )
     y, ns["up6"] = inverse_block(
         params["up6"], state["up6"], y, _K_DOWN, _S_DOWN, _P0, out_b1.sites(), **bn
     )
     y, ns["block7"] = basic_block(
-        params["block7"], state["block7"], _cat(y, out_b1), _K_BLOCK, **bn
+        params["block7"], state["block7"], _cat(y, out_b1), _K_BLOCK, table=tbl2, **bn
     )
     y, ns["up7"] = inverse_block(
         params["up7"], state["up7"], y, _K_DOWN, _S_DOWN, _P0, out_p1.sites(), **bn

@@ -26,7 +26,13 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..ops.points_in_boxes import box_class_features
-from ..sparse import SparseTensor, inverse_conv, strided_conv_sites, to_dense_bev
+from ..sparse import (
+    SparseTensor,
+    inverse_conv,
+    neighbor_table,
+    strided_conv_sites,
+    to_dense_bev,
+)
 from .blocks import basic_block, init_basic_block, init_conv_bn, inverse_block, strided_block, subm_block
 from .layers import init_linear
 
@@ -90,22 +96,29 @@ def _channel_reduction(feats, cout: int):
     return feats.reshape(n, cout, cin // cout).sum(axis=2)
 
 
-def _ur_block(params, state, ns, names, x_lateral, x_bottom, fine_sites, *, train, last=False):
+def _ur_block(params, state, ns, names, x_lateral, x_bottom, fine_sites, *, train, last=False, table=None):
     """UR_block_forward (spconv_unet.py:213-221): lateral residual fusion.
 
     t: SparseBasicBlock on the lateral; m: subm conv on concat(bottom, t);
     out = conv_inv(m + channel_reduction(concat)); conv_inv is an inverse
-    conv to the finer site set, or a subm block at the last level.
+    conv to the finer site set, or a subm block at the last level. All subm
+    convs here share one precomputed neighbor table for this level's sites.
     """
     t_name, m_name, inv_name = names
     bn = dict(bn_args=_BN, train=train)
-    x_t, ns[t_name] = basic_block(params[t_name], state[t_name], x_lateral, _K3, **bn)
+    x_t, ns[t_name] = basic_block(
+        params[t_name], state[t_name], x_lateral, _K3, table=table, **bn
+    )
     cat = x_t.replace_feats(jnp.concatenate([x_bottom.feats, x_t.feats], -1))
-    x_m, ns[m_name] = subm_block(params[m_name], state[m_name], cat, _K3, **bn)
+    x_m, ns[m_name] = subm_block(
+        params[m_name], state[m_name], cat, _K3, table=table, **bn
+    )
     red = _channel_reduction(cat.feats, x_m.num_features)
     fused = x_m.replace_feats(x_m.feats + red)
     if last:
-        out, ns[inv_name] = subm_block(params[inv_name], state[inv_name], fused, _K3, **bn)
+        out, ns[inv_name] = subm_block(
+            params[inv_name], state[inv_name], fused, _K3, table=table, **bn
+        )
     else:
         out, ns[inv_name] = inverse_block(
             params[inv_name], state[inv_name], fused, _K3, _S2, _P1, fine_sites, **bn
@@ -143,8 +156,13 @@ def unet3d_forward(
     ns = {}
     bn = dict(bn_args=_BN, train=train)
 
-    y, ns["conv_input"] = subm_block(params["conv_input"], state["conv_input"], x, _K3, **bn)
-    x_conv1, ns["conv1"] = subm_block(params["conv1"], state["conv1"], y, _K3, **bn)
+    tables = {1: neighbor_table(x, _K3)}
+    y, ns["conv_input"] = subm_block(
+        params["conv_input"], state["conv_input"], x, _K3, table=tables[1], **bn
+    )
+    x_conv1, ns["conv1"] = subm_block(
+        params["conv1"], state["conv1"], y, _K3, table=tables[1], **bn
+    )
 
     cdiv = lambda a, b: -(-a // b)
     dims = {
@@ -157,8 +175,13 @@ def unet3d_forward(
         y, ns[f"conv{lvl}_down"] = strided_block(
             params[f"conv{lvl}_down"], state[f"conv{lvl}_down"], y, _K3, _S2, _P1, sites, **bn
         )
-        y, ns[f"conv{lvl}_a"] = subm_block(params[f"conv{lvl}_a"], state[f"conv{lvl}_a"], y, _K3, **bn)
-        y, ns[f"conv{lvl}_b"] = subm_block(params[f"conv{lvl}_b"], state[f"conv{lvl}_b"], y, _K3, **bn)
+        tables[stride] = neighbor_table(y, _K3)
+        y, ns[f"conv{lvl}_a"] = subm_block(
+            params[f"conv{lvl}_a"], state[f"conv{lvl}_a"], y, _K3, table=tables[stride], **bn
+        )
+        y, ns[f"conv{lvl}_b"] = subm_block(
+            params[f"conv{lvl}_b"], state[f"conv{lvl}_b"], y, _K3, table=tables[stride], **bn
+        )
         feats_by_level[stride] = y
 
     # conv_out: z-only stride-2 -> encoded tensor (stride 8 in xy, 16 in z)
@@ -191,43 +214,51 @@ def unet3d_forward(
     boxes8 = to_grid(boxes_world, 8)
     inst = _instance_feats(sparse_inv, boxes8, box_valid, nc)
     cat = sparse_inv.replace_feats(jnp.concatenate([sparse_inv.feats, inst], -1))
-    y, ns["fuse4"] = subm_block(params["fuse4"], state["fuse4"], cat, _K3, **bn)
+    y, ns["fuse4"] = subm_block(
+        params["fuse4"], state["fuse4"], cat, _K3, table=tables[8], **bn
+    )
     x_up4 = _ur_block(
         params, state, ns, ("up_t4", "up_m4", "inv4"), y, y,
-        feats_by_level[4].sites(), train=train,
+        feats_by_level[4].sites(), train=train, table=tables[8],
     )
 
     boxes4 = to_grid(boxes_world, 4)
     inst = _instance_feats(x_up4, boxes4, box_valid, nc)
     cat = x_up4.replace_feats(jnp.concatenate([x_up4.feats, inst], -1))
-    y, ns["fuse3"] = subm_block(params["fuse3"], state["fuse3"], cat, _K3, **bn)
+    y, ns["fuse3"] = subm_block(
+        params["fuse3"], state["fuse3"], cat, _K3, table=tables[4], **bn
+    )
     x_up3 = _ur_block(
         params, state, ns, ("up_t3", "up_m3", "inv3"), feats_by_level[4], y,
-        feats_by_level[2].sites(), train=train,
+        feats_by_level[2].sites(), train=train, table=tables[4],
     )
 
     boxes2 = to_grid(boxes_world, 2)
     inst = _instance_feats(x_up3, boxes2, box_valid, nc)
     cat = x_up3.replace_feats(jnp.concatenate([x_up3.feats, inst], -1))
-    y, ns["fuse2"] = subm_block(params["fuse2"], state["fuse2"], cat, _K3, **bn)
+    y, ns["fuse2"] = subm_block(
+        params["fuse2"], state["fuse2"], cat, _K3, table=tables[2], **bn
+    )
     x_up2 = _ur_block(
         params, state, ns, ("up_t2", "up_m2", "inv2"), feats_by_level[2], y,
-        feats_by_level[1].sites(), train=train,
+        feats_by_level[1].sites(), train=train, table=tables[2],
     )
 
     boxes1 = to_grid(boxes_world, 1)
     inst1 = _instance_feats(x_up2, boxes1, box_valid, nc)
     cat = x_up2.replace_feats(jnp.concatenate([x_up2.feats, inst1], -1))
-    y, ns["fuse1"] = subm_block(params["fuse1"], state["fuse1"], cat, _K3, **bn)
+    y, ns["fuse1"] = subm_block(
+        params["fuse1"], state["fuse1"], cat, _K3, table=tables[1], **bn
+    )
     x_up1 = _ur_block(
         params, state, ns, ("up_t1", "up_m1", "up_out"), feats_by_level[1], y,
-        None, train=train, last=True,
+        None, train=train, last=True, table=tables[1],
     )
 
     # final fusion reuses the stride-1 instance features (spconv_unet.py:401)
     cat = x_up1.replace_feats(jnp.concatenate([x_up1.feats, inst1], -1))
     y, ns["fuse1_final"] = subm_block(
-        params["fuse1_final"], state["fuse1_final"], cat, _K3, **bn
+        params["fuse1_final"], state["fuse1_final"], cat, _K3, table=tables[1], **bn
     )
 
     mos_logits = y.feats @ params["mos_head"]["w"] + params["mos_head"]["b"]

@@ -45,6 +45,49 @@ def gather_neighbor_idx(x: SparseTensor, query_coords) -> jax.Array:
     return lookup_keys(x.keys, qkeys.reshape(-1)).reshape(query_coords.shape[:-1])
 
 
+def neighbor_table(
+    x: SparseTensor, kernel_size: Sequence[int], chunk=None
+) -> jax.Array:
+    """Precompute the (V, K) submanifold neighbour index table for x's site
+    set and a centered kernel. Every subm conv on the same sites + kernel
+    reuses it — the binary-search lookups are the dominant cost of a sparse
+    conv, so sharing the table across the conv stack is a large win."""
+    offsets = jnp.asarray(make_offsets(kernel_size, centered=True), jnp.int32)
+    K = offsets.shape[0]
+
+    def run(rows_coords):
+        centers = rows_coords[:, None, :] + offsets[None]
+        return gather_neighbor_idx(x, centers)
+
+    V = x.capacity
+    if chunk is None or V <= chunk:
+        return run(x.coords)
+    assert V % chunk == 0
+    cc = x.coords.reshape(V // chunk, chunk, -1)
+    return jax.lax.map(run, cc).reshape(V, K)
+
+
+def gather_matmul(x: SparseTensor, idx, weight, out_valid, chunk=None):
+    """(V, K) neighbour table + (K, Cin, Cout) weight -> (V, Cout) conv."""
+    K, cin, cout = weight.shape
+    feats = jnp.where(x.valid[:, None], x.feats, 0.0)
+    w2 = weight.reshape(K * cin, cout)
+
+    def run(rows_idx, rows_valid):
+        gathered = _gather_rows(feats, rows_idx.reshape(-1)).reshape(-1, K * cin)
+        out = gathered @ w2
+        return jnp.where(rows_valid[:, None], out, 0.0)
+
+    V = idx.shape[0]
+    if chunk is None or V <= chunk:
+        return run(idx, out_valid)
+    assert V % chunk == 0
+    ci = idx.reshape(V // chunk, chunk, K)
+    cv = out_valid.reshape(V // chunk, chunk)
+    out = jax.lax.map(lambda a: run(*a), (ci, cv))
+    return out.reshape(V, cout)
+
+
 def _apply_kernel(
     x: SparseTensor, out_coords, out_valid, weight, stride, pad, offsets, chunk=None
 ):
@@ -80,10 +123,19 @@ def _apply_kernel(
 
 
 def subm_gather_conv(
-    x: SparseTensor, weight, kernel_size: Sequence[int], chunk=None
+    x: SparseTensor, weight, kernel_size: Sequence[int], chunk=None, table=None
 ) -> SparseTensor:
     """Submanifold conv: output sites = input sites (spconv SubMConv3d /
-    ME MinkowskiConvolution with stride 1 and odd kernel)."""
+    ME MinkowskiConvolution with stride 1 and odd kernel).
+
+    `table`: optional precomputed neighbor_table(x, kernel_size) to share
+    lookups across convs on the same site set. Without a table the lookup +
+    gather + matmul stay fused per chunk (never materializing the full
+    (V, K) index table — it can be ~GB for the 4D stem).
+    """
+    if table is not None:
+        feats = gather_matmul(x, table, weight, x.valid, chunk=chunk)
+        return x.replace_feats(feats)
     offsets = make_offsets(kernel_size, centered=True)
     feats = _apply_kernel(
         x,

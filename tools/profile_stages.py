@@ -84,37 +84,32 @@ def main():
     voxt, p2v = vox(current7, cur_valid)
 
     # ---- unet (incl. detection head inside boxes_fn) ----
-    det_t = {}
-
-    def boxes_fn(bev):
-        feat, _ = bev_backbone_forward(params["bev"], state["bev"], cfg, bev, train=False)
-        cls_map, box_map = center_head_forward(params["head"], feat)
-        boxes8, scores, labels, mask = decode_and_nms(cfg, cls_map, box_map)
-        return boxes8, mask
-
     @jax.jit
-    def unet(params_u, state_u, x):
-        logits, bev, _ = unet3d_forward(params_u, state_u, cfg, x, boxes_fn, train=False)
+    def unet(p, s, x):
+        def boxes_fn(bev):
+            feat, _ = bev_backbone_forward(p["bev"], s["bev"], cfg, bev, train=False)
+            cls_map, box_map = center_head_forward(p["head"], feat)
+            boxes8, scores, labels, mask = decode_and_nms(cfg, cls_map, box_map)
+            return boxes8, mask
+
+        logits, bev, _ = unet3d_forward(p["unet"], s["unet"], cfg, x, boxes_fn, train=False)
         return logits
 
-    timeit(unet, (params["unet"], state["unet"], voxt), args.iters,
-           "unet3d + detection + fusion")
+    timeit(unet, (params, state, voxt), args.iters, "unet3d + detection + fusion")
 
     # ---- detection branch alone ----
-    from insmos_tpu.sparse import to_dense_bev
-
     bev_in = jnp.zeros(
         (cfg.data.grid_size[1] // 8, cfg.data.grid_size[0] // 8,
          cfg.model.bev.num_bev_features), jnp.float32,
     )
 
     @jax.jit
-    def det(bev):
-        feat, _ = bev_backbone_forward(params["bev"], state["bev"], cfg, bev, train=False)
-        cls_map, box_map = center_head_forward(params["head"], feat)
+    def det(p, s, bev):
+        feat, _ = bev_backbone_forward(p["bev"], s["bev"], cfg, bev, train=False)
+        cls_map, box_map = center_head_forward(p["head"], feat)
         return decode_and_nms(cfg, cls_map, box_map)
 
-    timeit(det, (bev_in,), args.iters, "bev backbone + head + nms")
+    timeit(det, (params, state, bev_in), args.iters, "bev backbone + head + nms")
 
     # ---- full forward ----
     @jax.jit
