@@ -62,8 +62,10 @@ class MotionNetConfig:
     # coordinates live in a fixed-capacity set. Mins are multiples of
     # 8*voxel so integer coords stay divisible-by-stride aligned.
     crop_range: tuple[float, ...] = (-64.0, -54.4, -7.2, 64.0, 54.4, 5.6)
-    # capacities: 4D voxels at strides 1/2/4/8
-    capacities: tuple[int, ...] = (2**20 + 2**19, 2**19, 2**18, 2**17)
+    # capacities: 4D voxels at strides 1/2/4/8. The t axis never
+    # downsamples, so deep levels shrink slowly (measured on a ~122k-pts
+    # x10 window: 1.20M / 1.13M / 0.83M / 0.37M occupied)
+    capacities: tuple[int, ...] = (1_572_864, 1_310_720, 1_048_576, 524_288)
 
     @property
     def grid_size(self) -> tuple[int, int, int]:
@@ -125,9 +127,11 @@ class ModelConfig:
     unet_channels: tuple[int, ...] = (16, 32, 64, 128)
     max_voxels: int = 100_000  # reference models/models.py:287
     max_points_per_voxel: int = 5
-    # capacities of derived voxel sets: strided conv outputs at strides 2/4/8
-    # and the z-downsampled encoded tensor. Tuned to KITTI occupancy.
-    unet_capacities: tuple[int, ...] = (100_000, 72_000, 40_000, 20_000, 12_000)
+    # capacities of derived voxel sets: voxelizer (reference caps at 100k,
+    # models/models.py:287), strided conv outputs at strides 2/4/8, and the
+    # z-downsampled encoded tensor. Strided 3D downsampling dilates before it
+    # shrinks (measured ~105k / 77k at strides 2/4 from a 100k scan).
+    unet_capacities: tuple[int, ...] = (100_000, 106_496, 77_824, 36_864, 24_576)
     motionnet: MotionNetConfig = field(default_factory=MotionNetConfig)
     bev: BEVConfig = field(default_factory=BEVConfig)
     head: HeadConfig = field(default_factory=HeadConfig)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..sparse import SparseTensor, inverse_conv, strided_conv_sites, subm_gather_conv
-from ..sparse.convs import strided_conv
+from ..sparse.convs import inverse_conv_pairs, strided_conv, strided_conv_pairs
 from .layers import batch_norm, init_bn, init_sparse_conv, relu
 
 
@@ -89,3 +89,17 @@ def basic_block(p, s, x: SparseTensor, kernel, *, train, bn_args, chunk=None, ta
     else:
         idt = x.feats
     return y.replace_feats(relu(f + idt)), ns
+
+
+def strided_block_pairs(p, s, x, out_sites, pairs, kidx, *, train, bn_args):
+    """Strided conv + BN + ReLU via derivation pairs (lookup-free)."""
+    y = strided_conv_pairs(x, p["conv"]["w"], out_sites, pairs, kidx)
+    f, bn_s = batch_norm(p["bn"], s["bn"], y.feats, train=train, mask=y.valid, **bn_args)
+    return y.replace_feats(relu(f)), {"bn": bn_s}
+
+
+def inverse_block_pairs(p, s, coarse, fine_sites, pairs, kidx, *, train, bn_args):
+    """Inverse conv + BN + ReLU via the recorded forward pairs."""
+    y = inverse_conv_pairs(coarse, p["conv"]["w"], fine_sites, pairs, kidx)
+    f, bn_s = batch_norm(p["bn"], s["bn"], y.feats, train=train, mask=y.valid, **bn_args)
+    return y.replace_feats(relu(f)), {"bn": bn_s}

@@ -39,13 +39,11 @@ from ..sparse import (
 )
 from ..sparse.convs import strided_conv
 from .blocks import (
-    basic_block,
     init_basic_block,
     init_conv_bn,
     init_sparse_conv,
-    inverse_block,
-    strided_block,
-    subm_block,
+    inverse_block_pairs,
+    strided_block_pairs,
 )
 from .layers import init_linear
 
@@ -95,8 +93,11 @@ def _cat(a: SparseTensor, b: SparseTensor) -> SparseTensor:
 
 def _level_dims(dims4, factor):
     cdiv = lambda a, b: -(-a // b)
+    # x extent padded to a multiple of 16 (brick key arithmetic); padding
+    # only enlarges key space — coordinates never occupy the pad cells
+    x = cdiv(dims4[0], factor)
     return (
-        cdiv(dims4[0], factor),
+        cdiv(x, 16) * 16,
         cdiv(dims4[1], factor),
         cdiv(dims4[2], factor),
         dims4[3],
@@ -108,10 +109,24 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
 
     Returns (motion_feats (W*P->P, C) for the CURRENT scan slot,
     per-point motion feats for ALL points (W, P, C), new_state).
+
+    All submanifold convs run in brick space (sparse/bricks.py): build the
+    brick layout + neighbour table once per level, then every conv is
+    halo-row fetches + static shifts + matmuls. Strided and inverse convs
+    cross levels through the canonical sorted-voxel form.
     """
+    from ..sparse.bricks import (
+        bricks_to_voxel_feats,
+        brick_neighbor_table,
+        build_bricks,
+        voxel_feats_to_bricks,
+    )
+    from .blocks_bricks import basic_block_bricks, subm_block_bricks
+
     mc = cfg.model.motionnet
     W, P = points.shape[:2]
     chunk = cfg.runtime.conv_chunk
+    brick_chunk = max(1, chunk // 16)
     gx, gy, gz = mc.grid_size
     dims4 = (gx, gy, gz, W)
     caps = mc.capacities
@@ -132,56 +147,99 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
     )
 
     ns = {}
-    bn = dict(bn_args=_BN, train=train, chunk=chunk)
-    out_p1, ns["stem"] = subm_block(params["stem"], state["stem"], x, _K_STEM, **bn)
+    bn = dict(bn_args=_BN, train=train)
+    bbn = dict(bn_args=_BN, train=train, chunk=brick_chunk)
 
+    # ---------------- L1: stem (and later block8) in brick space ----------
+    b1 = build_bricks(x, max(256, caps[0] // 4))
+    tbl1_stem = brick_neighbor_table(b1, _K_STEM)
+    out_p1_b, ns["stem"] = subm_block_bricks(
+        params["stem"], state["stem"], b1, _K_STEM, tbl1_stem, **bbn
+    )
+    out_p1 = sites1.replace_feats(bricks_to_voxel_feats(out_p1_b))
+
+    # ---------------- encoder: paired strided downs + brick blocks --------
     d2 = _level_dims(dims4, 2)
-    s2 = strided_conv_sites(out_p1, _K_DOWN, _S_DOWN, _P0, d2, caps[1])
-    y, ns["down1"] = strided_block(
-        params["down1"], state["down1"], out_p1, _K_DOWN, _S_DOWN, _P0, s2, **bn
+    s2, pr2, ki2 = strided_conv_sites(
+        out_p1, _K_DOWN, _S_DOWN, _P0, d2, caps[1], with_pairs=True
     )
-    tbl2 = neighbor_table(y, _K_BLOCK, chunk=chunk)
-    out_b1, ns["block1"] = basic_block(
-        params["block1"], state["block1"], y, _K_BLOCK, table=tbl2, **bn
+    y, ns["down1"] = strided_block_pairs(
+        params["down1"], state["down1"], out_p1, s2, pr2, ki2, **bn
     )
+    b2 = build_bricks(y, max(256, caps[1] // 4))
+    tbl2 = brick_neighbor_table(b2, _K_BLOCK)
+    out_b1_b, ns["block1"] = basic_block_bricks(
+        params["block1"], state["block1"], b2, _K_BLOCK, tbl2, **bbn
+    )
+    out_b1 = s2.replace_feats(bricks_to_voxel_feats(out_b1_b))
 
     d4 = _level_dims(dims4, 4)
-    s4 = strided_conv_sites(out_b1, _K_DOWN, _S_DOWN, _P0, d4, caps[2])
-    y, ns["down2"] = strided_block(
-        params["down2"], state["down2"], out_b1, _K_DOWN, _S_DOWN, _P0, s4, **bn
+    s4, pr4, ki4 = strided_conv_sites(
+        out_b1, _K_DOWN, _S_DOWN, _P0, d4, caps[2], with_pairs=True
     )
-    tbl4 = neighbor_table(y, _K_BLOCK, chunk=chunk)
-    out_b2, ns["block2"] = basic_block(
-        params["block2"], state["block2"], y, _K_BLOCK, table=tbl4, **bn
+    y, ns["down2"] = strided_block_pairs(
+        params["down2"], state["down2"], out_b1, s4, pr4, ki4, **bn
     )
+    b4 = build_bricks(y, max(256, caps[2] // 4))
+    tbl4 = brick_neighbor_table(b4, _K_BLOCK)
+    out_b2_b, ns["block2"] = basic_block_bricks(
+        params["block2"], state["block2"], b4, _K_BLOCK, tbl4, **bbn
+    )
+    out_b2 = s4.replace_feats(bricks_to_voxel_feats(out_b2_b))
 
     d8 = _level_dims(dims4, 8)
-    s8 = strided_conv_sites(out_b2, _K_DOWN, _S_DOWN, _P0, d8, caps[3])
-    y, ns["down3"] = strided_block(
-        params["down3"], state["down3"], out_b2, _K_DOWN, _S_DOWN, _P0, s8, **bn
+    s8, pr8, ki8 = strided_conv_sites(
+        out_b2, _K_DOWN, _S_DOWN, _P0, d8, caps[3], with_pairs=True
     )
-    y, ns["block3"] = basic_block(params["block3"], state["block3"], y, _K_BLOCK, **bn)
+    y, ns["down3"] = strided_block_pairs(
+        params["down3"], state["down3"], out_b2, s8, pr8, ki8, **bn
+    )
+    b8 = build_bricks(y, max(256, caps[3] // 4))
+    tbl8 = brick_neighbor_table(b8, _K_BLOCK)
+    y8_b, ns["block3"] = basic_block_bricks(
+        params["block3"], state["block3"], b8, _K_BLOCK, tbl8, **bbn
+    )
+    y8 = s8.replace_feats(bricks_to_voxel_feats(y8_b))
 
-    y, ns["up5"] = inverse_block(
-        params["up5"], state["up5"], y, _K_DOWN, _S_DOWN, _P0, out_b2.sites(), **bn
+    # ---------------- decoder: inverse (sparse) + cat + blocks (bricks) ---
+    y, ns["up5"] = inverse_block_pairs(
+        params["up5"], state["up5"], y8, out_b2.sites(), pr8, ki8, **bn
     )
-    y, ns["block6"] = basic_block(
-        params["block6"], state["block6"], _cat(y, out_b2), _K_BLOCK, table=tbl4, **bn
+    cat4 = voxel_feats_to_bricks(b4, y.feats)
+    cat4 = cat4.replace_feats(
+        jnp.concatenate([cat4.feats, out_b2_b.feats], axis=-1)
     )
-    y, ns["up6"] = inverse_block(
-        params["up6"], state["up6"], y, _K_DOWN, _S_DOWN, _P0, out_b1.sites(), **bn
+    y_b, ns["block6"] = basic_block_bricks(
+        params["block6"], state["block6"], cat4, _K_BLOCK, tbl4, **bbn
     )
-    y, ns["block7"] = basic_block(
-        params["block7"], state["block7"], _cat(y, out_b1), _K_BLOCK, table=tbl2, **bn
+    y = s4.replace_feats(bricks_to_voxel_feats(y_b))
+
+    y, ns["up6"] = inverse_block_pairs(
+        params["up6"], state["up6"], y, out_b1.sites(), pr4, ki4, **bn
     )
-    y, ns["up7"] = inverse_block(
-        params["up7"], state["up7"], y, _K_DOWN, _S_DOWN, _P0, out_p1.sites(), **bn
+    cat2 = voxel_feats_to_bricks(b2, y.feats)
+    cat2 = cat2.replace_feats(
+        jnp.concatenate([cat2.feats, out_b1_b.feats], axis=-1)
     )
-    y, ns["block8"] = basic_block(
-        params["block8"], state["block8"], _cat(y, out_p1), _K_BLOCK, **bn
+    y_b, ns["block7"] = basic_block_bricks(
+        params["block7"], state["block7"], cat2, _K_BLOCK, tbl2, **bbn
+    )
+    y = s2.replace_feats(bricks_to_voxel_feats(y_b))
+
+    y, ns["up7"] = inverse_block_pairs(
+        params["up7"], state["up7"], y, out_p1.sites(), pr2, ki2, **bn
+    )
+    cat1 = voxel_feats_to_bricks(b1, y.feats)
+    cat1 = cat1.replace_feats(
+        jnp.concatenate([cat1.feats, out_p1_b.feats], axis=-1)
+    )
+    tbl1_block = brick_neighbor_table(b1, _K_BLOCK)
+    y_b, ns["block8"] = basic_block_bricks(
+        params["block8"], state["block8"], cat1, _K_BLOCK, tbl1_block, **bbn
     )
 
-    logits = y.feats @ params["final"]["w"] + params["final"]["b"]
-    logits = jnp.where(y.valid[:, None], logits, 0.0)
+    logits_b = y_b.feats @ params["final"]["w"] + params["final"]["b"]
+    logits_b = logits_b * y_b.occ[..., None]
+    logits = bricks_to_voxel_feats(y_b.replace_feats(logits_b))
     per_point = devoxelize(logits, p2v).reshape(W, P, -1)
     return per_point[W - 1], per_point, ns

@@ -33,7 +33,12 @@ from ..sparse import (
     strided_conv_sites,
     to_dense_bev,
 )
-from .blocks import basic_block, init_basic_block, init_conv_bn, inverse_block, strided_block, subm_block
+from .blocks import (
+    init_basic_block,
+    init_conv_bn,
+    inverse_block_pairs,
+    strided_block_pairs,
+)
 from .layers import init_linear
 
 _BN = {"momentum": 0.01, "eps": 1e-3}  # reference norm_fn (spconv_unet.py:118)
@@ -96,34 +101,44 @@ def _channel_reduction(feats, cout: int):
     return feats.reshape(n, cout, cin // cout).sum(axis=2)
 
 
-def _ur_block(params, state, ns, names, x_lateral, x_bottom, fine_sites, *, train, last=False, table=None):
-    """UR_block_forward (spconv_unet.py:213-221): lateral residual fusion.
+def _ur_block_bricks(
+    params, state, ns, names, lat_b, bot_b, table, level_sites, fine_sites,
+    pairs=None, *, train, last=False,
+):
+    """UR_block_forward (spconv_unet.py:213-221) in brick space: lateral
+    residual fusion; the trailing inverse conv crosses levels through the
+    canonical sparse form (or stays a brick subm at the last level)."""
+    from ..sparse.bricks import bricks_to_voxel_feats
+    from .blocks_bricks import basic_block_bricks, subm_block_bricks
 
-    t: SparseBasicBlock on the lateral; m: subm conv on concat(bottom, t);
-    out = conv_inv(m + channel_reduction(concat)); conv_inv is an inverse
-    conv to the finer site set, or a subm block at the last level. All subm
-    convs here share one precomputed neighbor table for this level's sites.
-    """
     t_name, m_name, inv_name = names
     bn = dict(bn_args=_BN, train=train)
-    x_t, ns[t_name] = basic_block(
-        params[t_name], state[t_name], x_lateral, _K3, table=table, **bn
+    x_t, ns[t_name] = basic_block_bricks(
+        params[t_name], state[t_name], lat_b, _K3, table, **bn
     )
-    cat = x_t.replace_feats(jnp.concatenate([x_bottom.feats, x_t.feats], -1))
-    x_m, ns[m_name] = subm_block(
-        params[m_name], state[m_name], cat, _K3, table=table, **bn
+    cat = x_t.replace_feats(jnp.concatenate([bot_b.feats, x_t.feats], -1))
+    x_m, ns[m_name] = subm_block_bricks(
+        params[m_name], state[m_name], cat, _K3, table, **bn
     )
-    red = _channel_reduction(cat.feats, x_m.num_features)
+    red = _channel_reduction_b(cat.feats, x_m.num_features)
     fused = x_m.replace_feats(x_m.feats + red)
     if last:
-        out, ns[inv_name] = subm_block(
-            params[inv_name], state[inv_name], fused, _K3, table=table, **bn
+        out, ns[inv_name] = subm_block_bricks(
+            params[inv_name], state[inv_name], fused, _K3, table, **bn
         )
-    else:
-        out, ns[inv_name] = inverse_block(
-            params[inv_name], state[inv_name], fused, _K3, _S2, _P1, fine_sites, **bn
-        )
-    return out
+        return out  # Bricks at the same level
+    fused_sp = level_sites.replace_feats(bricks_to_voxel_feats(fused))
+    prs, kis = pairs
+    out, ns[inv_name] = inverse_block_pairs(
+        params[inv_name], state[inv_name], fused_sp, fine_sites, prs, kis, **bn
+    )
+    return out  # SparseTensor at the finer level
+
+
+def _channel_reduction_b(feats, cout: int):
+    """channel_reduction on (B, BX, Cin) brick features."""
+    b, s, cin = feats.shape
+    return feats.reshape(b, s, cout, cin // cout).sum(axis=3)
 
 
 def _instance_feats(x: SparseTensor, boxes_grid, box_valid, num_classes):
@@ -143,52 +158,78 @@ def unet3d_forward(
     *,
     train: bool,
 ):
-    """Returns (mos voxel logits (V, 3), bev map, pred boxes, new_state).
+    """Returns (mos voxel logits (V, 3), bev map, new_state).
 
-    `boxes_fn` runs the detection branch (BEV backbone + CenterHead + NMS)
-    on the dense BEV of the encoded tensor and returns world-frame boxes
-    with a trailing 1-indexed class column. It is a callable so the
-    detection head can live in its own module while fusion stays here.
+    All submanifold convs run in brick space (one brick layout + neighbour
+    table per level); strided/inverse convs cross levels through the
+    canonical sorted-voxel form. `boxes_fn` runs the detection branch on the
+    dense BEV of the encoded tensor.
     """
+    from ..sparse.bricks import (
+        brick_neighbor_table,
+        bricks_to_voxel_feats,
+        build_bricks,
+        voxel_feats_to_bricks,
+    )
+    from .blocks_bricks import subm_block_bricks
+
     mc = cfg.model
     gx, gy, gz = cfg.data.grid_size
     caps = mc.unet_capacities
     ns = {}
     bn = dict(bn_args=_BN, train=train)
 
-    tables = {1: neighbor_table(x, _K3)}
-    y, ns["conv_input"] = subm_block(
-        params["conv_input"], state["conv_input"], x, _K3, table=tables[1], **bn
-    )
-    x_conv1, ns["conv1"] = subm_block(
-        params["conv1"], state["conv1"], y, _K3, table=tables[1], **bn
-    )
-
     cdiv = lambda a, b: -(-a // b)
     dims = {
-        s: (cdiv(gx, s), cdiv(gy, s), cdiv(gz, s)) for s in (1, 2, 4, 8)
+        s: (cdiv(cdiv(gx, s), 16) * 16, cdiv(gy, s), cdiv(gz, s))
+        for s in (1, 2, 4, 8)
     }
-    feats_by_level = {1: x_conv1}
-    y = x_conv1
+
+    # ---------------- encoder ----------------
+    bricks = {}
+    tables = {}
+    bricks[1] = build_bricks(x, max(256, caps[0] // 4))
+    tables[1] = brick_neighbor_table(bricks[1], _K3)
+    y_b, ns["conv_input"] = subm_block_bricks(
+        params["conv_input"], state["conv_input"], bricks[1], _K3, tables[1], **bn
+    )
+    x_conv1_b, ns["conv1"] = subm_block_bricks(
+        params["conv1"], state["conv1"], y_b, _K3, tables[1], **bn
+    )
+
+    level_sites = {1: x}
+    enc_bricks = {1: x_conv1_b}
+    pair_maps = {}
+    y = x.replace_feats(bricks_to_voxel_feats(x_conv1_b))
     for lvl, stride in ((2, 2), (3, 4), (4, 8)):
-        sites = strided_conv_sites(y, _K3, _S2, _P1, dims[stride], caps[lvl - 1])
-        y, ns[f"conv{lvl}_down"] = strided_block(
-            params[f"conv{lvl}_down"], state[f"conv{lvl}_down"], y, _K3, _S2, _P1, sites, **bn
+        sites, prs, kis = strided_conv_sites(
+            y, _K3, _S2, _P1, dims[stride], caps[lvl - 1], with_pairs=True
         )
-        tables[stride] = neighbor_table(y, _K3)
-        y, ns[f"conv{lvl}_a"] = subm_block(
-            params[f"conv{lvl}_a"], state[f"conv{lvl}_a"], y, _K3, table=tables[stride], **bn
+        pair_maps[stride] = (prs, kis)
+        y, ns[f"conv{lvl}_down"] = strided_block_pairs(
+            params[f"conv{lvl}_down"], state[f"conv{lvl}_down"], y, sites, prs, kis, **bn
         )
-        y, ns[f"conv{lvl}_b"] = subm_block(
-            params[f"conv{lvl}_b"], state[f"conv{lvl}_b"], y, _K3, table=tables[stride], **bn
+        level_sites[stride] = sites
+        bricks[stride] = build_bricks(y, max(256, caps[lvl - 1] // 4))
+        tables[stride] = brick_neighbor_table(bricks[stride], _K3)
+        y_b, ns[f"conv{lvl}_a"] = subm_block_bricks(
+            params[f"conv{lvl}_a"], state[f"conv{lvl}_a"], bricks[stride], _K3,
+            tables[stride], **bn,
         )
-        feats_by_level[stride] = y
+        y_b, ns[f"conv{lvl}_b"] = subm_block_bricks(
+            params[f"conv{lvl}_b"], state[f"conv{lvl}_b"], y_b, _K3,
+            tables[stride], **bn,
+        )
+        enc_bricks[stride] = y_b
+        y = sites.replace_feats(bricks_to_voxel_feats(y_b))
 
     # conv_out: z-only stride-2 -> encoded tensor (stride 8 in xy, 16 in z)
     dims_out = (dims[8][0], dims[8][1], (dims[8][2] - _KZ[2]) // _SZ[2] + 1)
-    sites_out = strided_conv_sites(y, _KZ, _SZ, _PZ, dims_out, caps[4])
-    encoded, ns["conv_out"] = strided_block(
-        params["conv_out"], state["conv_out"], y, _KZ, _SZ, _PZ, sites_out, **bn
+    sites_out, prs_out, kis_out = strided_conv_sites(
+        y, _KZ, _SZ, _PZ, dims_out, caps[4], with_pairs=True
+    )
+    encoded, ns["conv_out"] = strided_block_pairs(
+        params["conv_out"], state["conv_out"], y, sites_out, prs_out, kis_out, **bn
     )
 
     # ---------------- detection branch on the dense BEV ----------------
@@ -196,71 +237,79 @@ def unet3d_forward(
     boxes_world, box_valid = boxes_fn(bev)
 
     # ---------------- decoder with instance fusion ---------------------
-    sparse_inv = inverse_conv(
-        encoded, params["inv_conv_out"]["conv"]["w"], _KZ, _SZ, _PZ,
-        feats_by_level[8].sites(),
+    from ..sparse.convs import inverse_conv_pairs
+
+    sparse_inv = inverse_conv_pairs(
+        encoded, params["inv_conv_out"]["conv"]["w"], level_sites[8].sites(),
+        prs_out, kis_out,
     )
 
-    # boxes in stride-8 grid units (spconv_unet.py:325-331); yaw is scale-
+    # boxes in per-level grid units (spconv_unet.py:325-331); yaw is scale-
     # invariant because x/y voxel sizes are equal.
     vs = jnp.asarray(cfg.data.voxel_size)
     lo = jnp.asarray(cfg.data.point_cloud_range[:3])
-    def to_grid(b, stride):
-        ctr = (b[:, 0:3] - lo[None]) / (vs[None] * stride)
-        dms = b[:, 3:6] / (vs[None] * stride)
-        return jnp.concatenate([ctr, dms, b[:, 6:8]], axis=-1)
+
+    def to_grid(b7, stride):
+        ctr = (b7[:, 0:3] - lo[None]) / (vs[None] * stride)
+        dms = b7[:, 3:6] / (vs[None] * stride)
+        return jnp.concatenate([ctr, dms, b7[:, 6:8]], axis=-1)
 
     nc = mc.head.num_class
-    boxes8 = to_grid(boxes_world, 8)
-    inst = _instance_feats(sparse_inv, boxes8, box_valid, nc)
-    cat = sparse_inv.replace_feats(jnp.concatenate([sparse_inv.feats, inst], -1))
-    y, ns["fuse4"] = subm_block(
-        params["fuse4"], state["fuse4"], cat, _K3, table=tables[8], **bn
-    )
-    x_up4 = _ur_block(
-        params, state, ns, ("up_t4", "up_m4", "inv4"), y, y,
-        feats_by_level[4].sites(), train=train, table=tables[8],
+
+    def fuse(level_feats_b, base_bricks, level_sparse, stride, fuse_name):
+        """instance one-hot on this level's sites -> concat -> subm conv."""
+        inst = _instance_feats(
+            level_sparse, to_grid(boxes_world, stride), box_valid, nc
+        )
+        inst_b = voxel_feats_to_bricks(base_bricks, inst)
+        cat = level_feats_b.replace_feats(
+            jnp.concatenate([level_feats_b.feats, inst_b.feats], -1)
+        )
+        out, ns[fuse_name] = subm_block_bricks(
+            params[fuse_name], state[fuse_name], cat, _K3,
+            tables[stride_key(stride)], **bn,
+        )
+        return out, inst_b
+
+    def stride_key(s):
+        return s
+
+    inv_b = voxel_feats_to_bricks(bricks[8], sparse_inv.masked_feats())
+    lvl_sparse8 = level_sites[8].replace_feats(sparse_inv.feats)
+    y_b, _ = fuse(inv_b, bricks[8], lvl_sparse8, 8, "fuse4")
+    x_up4 = _ur_block_bricks(
+        params, state, ns, ("up_t4", "up_m4", "inv4"), y_b, y_b, tables[8],
+        level_sites[8], level_sites[4].sites(), pair_maps[8], train=train,
     )
 
-    boxes4 = to_grid(boxes_world, 4)
-    inst = _instance_feats(x_up4, boxes4, box_valid, nc)
-    cat = x_up4.replace_feats(jnp.concatenate([x_up4.feats, inst], -1))
-    y, ns["fuse3"] = subm_block(
-        params["fuse3"], state["fuse3"], cat, _K3, table=tables[4], **bn
-    )
-    x_up3 = _ur_block(
-        params, state, ns, ("up_t3", "up_m3", "inv3"), feats_by_level[4], y,
-        feats_by_level[2].sites(), train=train, table=tables[4],
+    up4_b = voxel_feats_to_bricks(bricks[4], x_up4.masked_feats())
+    y_b, _ = fuse(up4_b, bricks[4], level_sites[4].replace_feats(x_up4.feats), 4, "fuse3")
+    x_up3 = _ur_block_bricks(
+        params, state, ns, ("up_t3", "up_m3", "inv3"), enc_bricks[4], y_b, tables[4],
+        level_sites[4], level_sites[2].sites(), pair_maps[4], train=train,
     )
 
-    boxes2 = to_grid(boxes_world, 2)
-    inst = _instance_feats(x_up3, boxes2, box_valid, nc)
-    cat = x_up3.replace_feats(jnp.concatenate([x_up3.feats, inst], -1))
-    y, ns["fuse2"] = subm_block(
-        params["fuse2"], state["fuse2"], cat, _K3, table=tables[2], **bn
-    )
-    x_up2 = _ur_block(
-        params, state, ns, ("up_t2", "up_m2", "inv2"), feats_by_level[2], y,
-        feats_by_level[1].sites(), train=train, table=tables[2],
+    up3_b = voxel_feats_to_bricks(bricks[2], x_up3.masked_feats())
+    y_b, _ = fuse(up3_b, bricks[2], level_sites[2].replace_feats(x_up3.feats), 2, "fuse2")
+    x_up2 = _ur_block_bricks(
+        params, state, ns, ("up_t2", "up_m2", "inv2"), enc_bricks[2], y_b, tables[2],
+        level_sites[2], level_sites[1].sites(), pair_maps[2], train=train,
     )
 
-    boxes1 = to_grid(boxes_world, 1)
-    inst1 = _instance_feats(x_up2, boxes1, box_valid, nc)
-    cat = x_up2.replace_feats(jnp.concatenate([x_up2.feats, inst1], -1))
-    y, ns["fuse1"] = subm_block(
-        params["fuse1"], state["fuse1"], cat, _K3, table=tables[1], **bn
-    )
-    x_up1 = _ur_block(
-        params, state, ns, ("up_t1", "up_m1", "up_out"), feats_by_level[1], y,
-        None, train=train, last=True, table=tables[1],
+    up2_b = voxel_feats_to_bricks(bricks[1], x_up2.masked_feats())
+    y_b, inst1_b = fuse(up2_b, bricks[1], level_sites[1].replace_feats(x_up2.feats), 1, "fuse1")
+    x_up1_b = _ur_block_bricks(
+        params, state, ns, ("up_t1", "up_m1", "up_out"), enc_bricks[1], y_b, tables[1],
+        level_sites[1], None, train=train, last=True,
     )
 
     # final fusion reuses the stride-1 instance features (spconv_unet.py:401)
-    cat = x_up1.replace_feats(jnp.concatenate([x_up1.feats, inst1], -1))
-    y, ns["fuse1_final"] = subm_block(
-        params["fuse1_final"], state["fuse1_final"], cat, _K3, table=tables[1], **bn
+    cat = x_up1_b.replace_feats(jnp.concatenate([x_up1_b.feats, inst1_b.feats], -1))
+    y_b, ns["fuse1_final"] = subm_block_bricks(
+        params["fuse1_final"], state["fuse1_final"], cat, _K3, tables[1], **bn
     )
 
-    mos_logits = y.feats @ params["mos_head"]["w"] + params["mos_head"]["b"]
-    mos_logits = jnp.where(y.valid[:, None], mos_logits, 0.0)
+    logits_b = y_b.feats @ params["mos_head"]["w"] + params["mos_head"]["b"]
+    logits_b = logits_b * y_b.occ[..., None]
+    mos_logits = bricks_to_voxel_feats(y_b.replace_feats(logits_b))
     return mos_logits, bev, ns

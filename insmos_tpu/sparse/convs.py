@@ -157,18 +157,27 @@ def strided_conv_sites(
     pad: Sequence[int],
     out_dims: Sequence[int],
     capacity: int,
-) -> SparseTensor:
+    with_pairs: bool = False,
+):
     """Derive the output site set of a strided sparse conv.
 
     An input site i feeds outputs o with o*s - p + k = i, k in [0, kernel);
     per dim that is the integer range ceil((i+p-k+1)/s) .. floor((i+p)/s).
     We enumerate the <= ceil(k/s) candidates per dim and deduplicate.
+
+    with_pairs=True additionally returns the (input, candidate) -> output
+    pairing produced by the dedup — (pairs (V, Kc) int32 output rows or -1,
+    kidx (V, Kc) int32 flattened kernel position) — which makes the strided
+    conv itself and its exact inverse LOOKUP-FREE (see strided_conv_pairs /
+    inverse_conv_pairs): this is the byproduct that replaces spconv's
+    indice_key rulebooks.
     """
     D = len(kernel_size)
     per_dim = [int(np.ceil(k / s)) for k, s in zip(kernel_size, stride)]
     cand_ranges = [np.arange(c, dtype=np.int32) for c in per_dim]
     mesh = np.meshgrid(*cand_ranges[::-1], indexing="ij")
     cand = np.stack([m.reshape(-1) for m in mesh[::-1]], axis=-1)  # (Kc, D)
+    Kc = cand.shape[0]
 
     s = jnp.asarray(stride, jnp.int32)
     p = jnp.asarray(pad, jnp.int32)
@@ -183,10 +192,63 @@ def strided_conv_sites(
     ok = (lo_ok & hi_ok & (cands >= 0)).all(-1) & x.valid[:, None]  # (V, Kc)
 
     flat = cands.reshape(-1, D)
-    sites, _, _, _ = unique_voxels(
+    sites, p2v, _, _ = unique_voxels(
         flat, out_dims, capacity, point_valid=ok.reshape(-1), first_occurrence_cap=False
     )
-    return sites
+    if not with_pairs:
+        return sites
+    pairs = jnp.where(ok, p2v.reshape(-1, Kc), -1)
+    # kernel position of pair (i, o): delta = i + p - o*s, flattened x-fastest
+    delta = i[:, None, :] + p[None, None] - cands * s[None, None]  # (V, Kc, D)
+    kidx = jnp.zeros(delta.shape[:2], jnp.int32)
+    mult = 1
+    for d in range(D):
+        kidx = kidx + jnp.clip(delta[..., d], 0, kernel_size[d] - 1) * mult
+        mult *= kernel_size[d]
+    return sites, pairs, kidx
+
+
+def strided_conv_pairs(
+    x: SparseTensor, weight, out_sites: SparseTensor, pairs, kidx
+) -> SparseTensor:
+    """Strided conv via the derivation pairs: per input voxel, project its
+    features by its kernel-position weight and scatter-add into the output —
+    zero neighbor lookups (the dedup already paired inputs with outputs)."""
+    K, cin, cout = weight.shape
+    V, Kc = pairs.shape
+    feats = jnp.where(x.valid[:, None], x.feats, 0.0)
+    # (V, K, Cout) projections, then per (input, candidate) select its k row
+    proj = jnp.einsum("vc,kcd->vkd", feats, weight)
+    sel = jnp.take_along_axis(
+        proj, jnp.clip(kidx, 0, K - 1)[..., None], axis=1
+    )  # (V, Kc, Cout)
+    sel = jnp.where(pairs[..., None] >= 0, sel, 0.0)
+    tgt = jnp.where(pairs >= 0, pairs, out_sites.capacity)
+    out = jnp.zeros((out_sites.capacity + 1, cout), sel.dtype)
+    out = out.at[tgt.reshape(-1)].add(sel.reshape(-1, cout), mode="drop")
+    out = out[:-1] * out_sites.valid[:, None]
+    return out_sites.replace_feats(out)
+
+
+def inverse_conv_pairs(
+    coarse: SparseTensor, weight, fine_sites: SparseTensor, pairs, kidx
+) -> SparseTensor:
+    """Exact inverse of the paired strided conv: gather each fine site's
+    coarse parents (the transposed pairs) and apply the same kernel-position
+    weights — zero lookups (spconv SparseInverseConv3d semantics)."""
+    K, cin, cout = weight.shape
+    V, Kc = pairs.shape
+    feats = jnp.where(coarse.valid[:, None], coarse.feats, 0.0)
+    proj = jnp.einsum("vc,kcd->vkd", feats, weight)  # (Vc, K, Cout)
+    flatproj = jnp.concatenate(
+        [proj.reshape(-1, cout), jnp.zeros((1, cout), proj.dtype)]
+    )
+    flat_idx = jnp.where(
+        pairs >= 0, pairs * K + jnp.clip(kidx, 0, K - 1), flatproj.shape[0] - 1
+    )
+    gathered = jnp.take(flatproj, flat_idx.reshape(-1), axis=0).reshape(V, Kc, cout)
+    out = gathered.sum(axis=1) * fine_sites.valid[:, None]
+    return fine_sites.replace_feats(out)
 
 
 def strided_conv(

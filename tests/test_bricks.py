@@ -1,0 +1,106 @@
+"""Brick engine vs the sorted-key engine: results must be identical."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from insmos_tpu.sparse import SparseTensor, subm_gather_conv, unique_voxels
+from insmos_tpu.sparse.bricks import (
+    BX,
+    brick_neighbor_table,
+    bricks_to_voxel_feats,
+    build_bricks,
+    subm_conv_bricks,
+)
+
+
+def _rand_sparse(rng, dims, n, c, capacity=None):
+    capacity = capacity or 2 * n
+    total = int(np.prod(dims))
+    flat = rng.choice(total, size=n, replace=False)
+    coords = []
+    rem = flat
+    for d in dims:
+        coords.append(rem % d)
+        rem = rem // d
+    coords = np.stack(coords, axis=-1).astype(np.int32)
+    sites, p2v, _, _ = unique_voxels(jnp.asarray(coords), dims, capacity)
+    feats = np.zeros((capacity, c), np.float32)
+    feats[np.asarray(p2v)] = rng.normal(size=(n, c)).astype(np.float32)
+    return SparseTensor(
+        sites.coords, sites.keys, jnp.asarray(feats), sites.valid, tuple(dims)
+    )
+
+
+def test_build_bricks_roundtrip(rng):
+    dims = (32, 7, 5)
+    x = _rand_sparse(rng, dims, 60, 3)
+    b = build_bricks(x, brick_capacity=80)
+    # every valid voxel maps into its brick slot and features round-trip
+    back = np.asarray(bricks_to_voxel_feats(b))
+    np.testing.assert_allclose(back, np.asarray(x.masked_feats()), atol=1e-6)
+    # occupancy count matches voxel count
+    assert int(b.occ.sum()) == int(x.valid.sum())
+    # slots are direct-mapped: coords x % BX
+    keys = np.asarray(x.keys)
+    vf = np.asarray(b.v_flat)
+    valid = np.asarray(x.valid)
+    np.testing.assert_array_equal(vf[valid] % BX, keys[valid] % BX)
+
+
+@pytest.mark.parametrize(
+    "dims,kernel,n,c_in,c_out",
+    [
+        ((32, 8, 6), (3, 3, 3), 80, 5, 7),
+        ((48, 6, 4), (5, 5, 5), 100, 1, 8),
+        ((32, 6, 4, 3), (3, 3, 3, 3), 90, 4, 6),
+        ((32, 5, 4, 3), (5, 5, 5, 1), 70, 1, 8),
+    ],
+)
+def test_subm_conv_bricks_matches_reference_engine(rng, dims, kernel, n, c_in, c_out):
+    x = _rand_sparse(rng, dims, n, c_in)
+    K = int(np.prod(kernel))
+    w = jnp.asarray(rng.normal(size=(K, c_in, c_out)).astype(np.float32))
+
+    ref = subm_gather_conv(x, w, kernel)
+    ref_feats = np.asarray(ref.masked_feats())
+
+    b = build_bricks(x, brick_capacity=x.capacity)
+    tbl = brick_neighbor_table(b, kernel)
+    out_b = subm_conv_bricks(b, w, kernel, tbl)
+    got = np.asarray(bricks_to_voxel_feats(out_b))
+    np.testing.assert_allclose(got, ref_feats, atol=2e-4)
+
+
+def test_subm_conv_bricks_chunked(rng):
+    dims = (32, 8, 4)
+    x = _rand_sparse(rng, dims, 64, 3, capacity=128)
+    w = jnp.asarray(rng.normal(size=(27, 3, 4)).astype(np.float32))
+    b = build_bricks(x, brick_capacity=128)
+    tbl = brick_neighbor_table(b, (3, 3, 3))
+    full = np.asarray(bricks_to_voxel_feats(subm_conv_bricks(b, w, (3, 3, 3), tbl)))
+    chunked = np.asarray(
+        bricks_to_voxel_feats(subm_conv_bricks(b, w, (3, 3, 3), tbl, chunk=32))
+    )
+    np.testing.assert_allclose(full, chunked, atol=1e-6)
+
+
+def test_x_halo_across_brick_boundary(rng):
+    """Two voxels in adjacent bricks of the same row must see each other."""
+    dims = (32, 4, 4)
+    coords = jnp.asarray([[15, 1, 1], [16, 1, 1]])  # brick boundary pair
+    sites, p2v, _, _ = unique_voxels(coords, dims, 8)
+    feats = jnp.zeros((8, 1)).at[p2v].set(jnp.asarray([[1.0], [2.0]]))
+    x = SparseTensor(sites.coords, sites.keys, feats, sites.valid, dims)
+    w = jnp.zeros((27, 1, 1))
+    # offset (+1, 0, 0): canonical x-fastest enumeration -> index 14
+    w = w.at[14].set(1.0)
+    ref = np.asarray(subm_gather_conv(x, w, (3, 3, 3)).masked_feats())
+    b = build_bricks(x, 8)
+    tbl = brick_neighbor_table(b, (3, 3, 3))
+    got = np.asarray(bricks_to_voxel_feats(subm_conv_bricks(b, w, (3, 3, 3), tbl)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # voxel at x=15 sees x=16 (value 2); voxel at 16 sees nothing at 17
+    assert got[np.asarray(p2v)[0], 0] == pytest.approx(2.0)
+    assert got[np.asarray(p2v)[1], 0] == pytest.approx(0.0)
