@@ -13,15 +13,16 @@ ADJACENT entries of the sorted brick array, so left/right halos are array
 shifts — zero gathers.
 
 A submanifold conv then becomes, per kernel "row group" (dy, dz[, dt]):
-one contiguous row-gather of the neighbour brick's halo-expanded features
-per brick (found via a per-level neighbour table), followed by STATIC x-
-
-shifts per dx offset and one matmul. The neighbour table itself is built
-once per level with a dense brick-id grid (one scatter + one gather pass).
+three contiguous row-gathers per brick — the neighbour row's bricks at
+x-segments (own-1, own, own+1), found via a per-level neighbour table —
+concatenated into a 3*BX x-window from which each dx offset is a STATIC
+slice, followed by one matmul. The neighbour table itself is built once
+per level with a dense brick-id grid (one scatter + three gather passes).
 
 Compared with the sorted-key/binary-search path (convs.py) this trades
 memory (dense brick grid, ~5x slot padding) for ~20-100x fewer random
-accesses. Both paths produce identical results (tests/test_bricks.py).
+accesses. Both paths produce identical results (tests/test_bricks.py,
+including adversarial cross-segment cases in the sparse-row regime).
 """
 
 from __future__ import annotations
@@ -132,11 +133,14 @@ def _row_group_offsets(kernel: Sequence[int]) -> np.ndarray:
 def brick_neighbor_table(b: Bricks, kernel: Sequence[int]):
     """Neighbour bricks per non-x kernel offset group (centered).
 
-    Returns (npos (B, G) int32, delta (B, G) int32): npos is the array row
-    of the neighbouring row's brick at x-segment (own + delta), delta in
-    {-1, 0, +1}. The center segment is preferred; when it is empty but an
-    adjacent segment of that row exists, the fallback is recorded so the
-    conv can still reach those voxels through the fetched brick's halo.
+    Returns npos3 (B, G, 3) int32: for each brick and each non-x kernel
+    offset group, the array rows of the neighbouring row's bricks at
+    x-segments (own-1, own, own+1), or -1 where that brick does not exist
+    (empty segment or out of grid). A query voxel's x-window (|dx| < BX)
+    is always fully covered by these three bricks, independent of which
+    segments happen to be occupied — this replaces an earlier single-brick
+    fallback that lost cross-segment contributions when the center segment
+    was empty but both side segments were populated.
 
     Built via a dense brick-id grid: one scatter of B entries + three gather
     passes of B*G entries — no binary search. The grid is transient.
@@ -176,101 +180,48 @@ def brick_neighbor_table(b: Bricks, kernel: Sequence[int]):
         q = jnp.where(seg_ok, nb_keys + delta, n_bricks_dense)
         return jnp.take(grid, q.reshape(-1)).reshape(b.capacity, len(shifts))
 
-    center = probe(0)
-    left = probe(-1)
-    right = probe(1)
-    npos = jnp.where(center >= 0, center, jnp.where(left >= 0, left, right))
-    delta = jnp.where(
-        center >= 0, 0, jnp.where(left >= 0, -1, jnp.where(right >= 0, 1, 0))
-    ).astype(jnp.int32)
-    return npos, delta
-
-
-_HALO_BRICKS = 5  # window spans bricks [-2 .. +2] along x
-
-
-def _halo(feats, occ, keys, valid, nxs: int):
-    """Halo-expand along x using sorted-order adjacency (no gathers):
-    feats (B, BX, C) -> (B, 5*BX, C); occ likewise. Array row i +- d is
-    brick key +- d iff the keys are consecutive AND the x-segment stays
-    inside the row (else the adjacent array rows belong to another row)."""
-    B, _, C = feats.shape
-    xseg = keys % nxs
-
-    def shifted(d):
-        """(feats, occ) of array row i+d when it is brick key+d, else 0."""
-        if d < 0:
-            k_nb = jnp.concatenate([jnp.full((-d,), -1, keys.dtype), keys[:d]])
-            f_nb = jnp.concatenate(
-                [jnp.zeros((-d, BX, C), feats.dtype), feats[:d]], 0
-            )
-            o_nb = jnp.concatenate([jnp.zeros((-d, BX), bool), occ[:d]], 0)
-        else:
-            k_nb = jnp.concatenate([keys[d:], jnp.full((d,), -1, keys.dtype)])
-            f_nb = jnp.concatenate(
-                [feats[d:], jnp.zeros((d, BX, C), feats.dtype)], 0
-            )
-            o_nb = jnp.concatenate([occ[d:], jnp.zeros((d, BX), bool)], 0)
-        ok = valid & (k_nb == keys + d) & (xseg + d >= 0) & (xseg + d < nxs)
-        return f_nb * ok[:, None, None], o_nb & ok[:, None]
-
-    fs, os_ = zip(*(shifted(d) for d in range(-2, 3)))
-    return jnp.concatenate(fs, axis=1), jnp.concatenate(os_, axis=1)
+    return jnp.stack([probe(-1), probe(0), probe(1)], axis=-1)  # (B, G, 3)
 
 
 def subm_conv_bricks(
     b: Bricks,
     weight,  # (K, Cin, Cout), offsets enumerated x-fastest (make_offsets)
     kernel: Sequence[int],
-    nb_table,  # (npos, delta) from brick_neighbor_table(b, kernel)
+    nb_table,  # npos3 (B, G, 3) from brick_neighbor_table(b, kernel)
     chunk: int | None = None,
 ) -> Bricks:
-    """Submanifold conv on bricks. One halo-row gather per (brick, group);
-    x offsets are static slices of the 5-brick halo (selected across the
-    up-to-3 fallback segments by delta masks); weights applied as matmuls."""
+    """Submanifold conv on bricks. Per (brick, group): gather the neighbour
+    row's (left, center, right) bricks, concatenate to a 3*BX x-window, and
+    take static slices per dx offset; weights applied as matmuls. Requires
+    the kernel x-extent < 2*BX+1 (slices stay inside the 3-brick window)."""
     K, cin, cout = weight.shape
     kx = kernel[0]
+    assert kx <= 2 * BX - 1, f"kernel x-extent {kx} exceeds 3-brick window"
     x_off = np.arange(-((kx - 1) // 2), kx - (kx - 1) // 2, dtype=np.int64)
     groups = _row_group_offsets(kernel)
     G = groups.shape[0]
     assert K == kx * G
-    npos_all, delta_all = nb_table
+    npos_all = nb_table
 
-    feats_h, occ_h = _halo(
-        jnp.where(b.occ[..., None], b.feats, 0.0),
-        b.occ,
-        b.keys,
-        b.valid,
-        _num_xsegs(b.dims),
-    )
-    HW = _HALO_BRICKS * BX
-    fh = feats_h * occ_h[..., None]
     B = b.capacity
-    fh_flat = jnp.concatenate(
-        [fh.reshape(B, HW * cin), jnp.zeros((1, HW * cin), fh.dtype)]
+    f = jnp.where(b.occ[..., None], b.feats, 0.0)
+    f_flat = jnp.concatenate(
+        [f.reshape(B, BX * cin), jnp.zeros((1, BX * cin), f.dtype)]
     )
 
     # weight slices per (group, dx): canonical index = dx_i + kx * g
     w = weight.reshape(G, kx, cin, cout)
 
-    def run(npos_rows, delta_rows, occ_rows):
+    def run(npos_rows, occ_rows):
         rows = npos_rows.shape[0]
 
         def g_body(acc, scanned):
-            npos, delta, w_g = scanned  # (rows,), (rows,), (kx, cin, cout)
+            npos3, w_g = scanned  # (rows, 3), (kx, cin, cout)
             nb = jnp.take(
-                fh_flat, jnp.where(npos >= 0, npos, B), axis=0
-            ).reshape(rows, HW, cin)
-            sel = [
-                (delta == d).astype(nb.dtype)[:, None, None] for d in (-1, 0, 1)
-            ]
+                f_flat, jnp.where(npos3 >= 0, npos3, B).reshape(-1), axis=0
+            ).reshape(rows, 3 * BX, cin)
             for i, dx in enumerate(x_off):
-                # local slice base: s + dx + (2 - delta) * BX
-                sl = (
-                    sel[0] * nb[:, 3 * BX + int(dx) : 4 * BX + int(dx), :]
-                    + sel[1] * nb[:, 2 * BX + int(dx) : 3 * BX + int(dx), :]
-                    + sel[2] * nb[:, BX + int(dx) : 2 * BX + int(dx), :]
-                )
+                sl = nb[:, BX + int(dx) : 2 * BX + int(dx), :]
                 acc = acc + jnp.einsum(
                     "bsc,cd->bsd", sl, w_g[i],
                     preferred_element_type=weight.dtype,
@@ -280,19 +231,18 @@ def subm_conv_bricks(
         out, _ = jax.lax.scan(
             g_body,
             jnp.zeros((rows, BX, cout), weight.dtype),
-            (npos_rows.T, delta_rows.T, w),
+            (jnp.swapaxes(npos_rows, 0, 1), w),
         )
         return out * occ_rows[..., None]
 
     if chunk is None or B <= chunk:
-        out = run(npos_all, delta_all, b.occ)
+        out = run(npos_all, b.occ)
     else:
         assert B % chunk == 0
         out = jax.lax.map(
             lambda a: run(*a),
             (
-                npos_all.reshape(B // chunk, chunk, G),
-                delta_all.reshape(B // chunk, chunk, G),
+                npos_all.reshape(B // chunk, chunk, G, 3),
                 b.occ.reshape(B // chunk, chunk, BX),
             ),
         ).reshape(B, BX, cout)
