@@ -155,7 +155,10 @@ class RuntimeConfig:
     """TPU execution parameters (no reference counterpart)."""
 
     max_points_per_scan: int = 131_072  # KITTI HDL-64E ceiling
-    compute_dtype: str = "float32"  # "bfloat16" for the fast path
+    # bf16 matmul operands / f32 accumulation: measured ~8-100x faster than
+    # f32 matmuls on the target TPU (tools/probe_matmul2.py); set "float32"
+    # for bit-accurate oracle comparisons.
+    compute_dtype: str = "bfloat16"
     conv_chunk: int = 65_536  # row-chunk for gather-conv intermediates
     data_axis: str = "data"  # mesh axis name for data parallelism
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..sparse import SparseTensor, inverse_conv, strided_conv_sites, subm_gather_conv
 from ..sparse.convs import inverse_conv_pairs, strided_conv, strided_conv_pairs
-from .layers import batch_norm, init_bn, init_sparse_conv, relu
+from .layers import batch_norm, init_bn, init_sparse_conv, mm, relu
 
 
 def _kvol(kernel):
@@ -82,7 +82,7 @@ def basic_block(p, s, x: SparseTensor, kernel, *, train, bn_args, chunk=None, ta
     f, ns["bn2"] = batch_norm(p["bn2"], s["bn2"], y.feats, train=train, mask=y.valid, **bn_args)
 
     if "down" in p:
-        idt = x.feats @ p["down"]["w"][0]
+        idt = mm(x.feats, p["down"]["w"][0])
         idt, ns["down_bn"] = batch_norm(
             p["down_bn"], s["down_bn"], idt, train=train, mask=x.valid, **bn_args
         )

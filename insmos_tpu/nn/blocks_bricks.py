@@ -7,7 +7,7 @@ occupancy, activations re-masked so padding slots stay zero.
 from __future__ import annotations
 
 from ..sparse.bricks import Bricks, subm_conv_bricks
-from .layers import batch_norm, relu
+from .layers import batch_norm, mm, relu
 
 
 def subm_block_bricks(p, s, b: Bricks, kernel, table, *, train, bn_args, chunk=None):
@@ -26,7 +26,7 @@ def basic_block_bricks(p, s, b: Bricks, kernel, table, *, train, bn_args, chunk=
     f, ns["bn2"] = batch_norm(p["bn2"], s["bn2"], y.feats, train=train, mask=y.occ, **bn_args)
 
     if "down" in p:
-        idt = b.feats @ p["down"]["w"][0]
+        idt = mm(b.feats, p["down"]["w"][0])
         idt, ns["down_bn"] = batch_norm(
             p["down_bn"], s["down_bn"], idt, train=train, mask=b.occ, **bn_args
         )

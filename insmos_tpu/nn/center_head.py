@@ -36,8 +36,10 @@ def init_center_head(key, cfg: Config):
 
 def center_head_forward(params, feat):
     """feat: (H, W, C) -> (cls_logits (H, W, nc), box_preds (H, W, 8))."""
-    cls = feat @ params["cls"]["w"][0, 0] + params["cls"]["b"]
-    box = feat @ params["box"]["w"][0, 0] + params["box"]["b"]
+    from .layers import mm
+
+    cls = mm(feat, params["cls"]["w"][0, 0]) + params["cls"]["b"]
+    box = mm(feat, params["box"]["w"][0, 0]) + params["box"]["b"]
     return cls, box
 
 

@@ -23,6 +23,43 @@ def _uniform(key, shape, bound, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+# ------------------------------------------------------- mixed precision
+def cast_compute(params, dtype_str: str | None):
+    """Cast matmul/conv weights (float32 leaves with ndim >= 2) to the
+    compute dtype; BN scales, biases, and stats stay float32.
+
+    Standard TPU mixed precision: float32 master params, low-precision
+    matmul operands, float32 accumulation (every matmul in this package
+    passes preferred_element_type=float32). Gradients flow back to the
+    float32 masters through the cast's transpose.
+    """
+    if dtype_str in (None, "float32"):
+        return params
+    dt = jnp.dtype(dtype_str)
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dt)
+        if (getattr(a, "ndim", 0) >= 2 and a.dtype == jnp.float32)
+        else a,
+        params,
+    )
+
+
+def mm(x, w, preferred_element_type=jnp.float32):
+    """Matmul in the weight's dtype with f32 accumulation.
+
+    precision is pinned to HIGHEST: measured on the target TPU runtime,
+    f32 matmuls at default precision lower to a pathologically slow path
+    (~0.1 TF/s vs 18 TF/s at highest — tools/probe_matmul2.py); for bf16
+    operands the setting is a no-op.
+    """
+    return jnp.matmul(
+        x.astype(w.dtype),
+        w,
+        preferred_element_type=preferred_element_type,
+        precision="highest",
+    )
+
+
 # ------------------------------------------------------------------ linear
 def init_linear(key, cin: int, cout: int, bias: bool = True):
     """torch.nn.Linear default init (kaiming uniform, a=sqrt(5))."""
@@ -35,7 +72,7 @@ def init_linear(key, cin: int, cout: int, bias: bool = True):
 
 
 def linear(p, x):
-    y = x @ p["w"]
+    y = mm(x, p["w"])
     return y + p["b"] if "b" in p else y
 
 
@@ -104,26 +141,34 @@ def init_conv2d(key, kh: int, kw: int, cin: int, cout: int, bias: bool = False):
 
 
 def conv2d(p, x, stride: int = 1, padding="SAME"):
-    """x: (H, W, C) NHWC single image (batch handled by vmap)."""
+    """x: (H, W, C) NHWC single image (batch handled by vmap).
+
+    Runs in the weight's dtype with f32 result (a preferred_element_type
+    that differs from the operand dtype breaks the conv VJP — the cotangent
+    arrives f32 against a bf16 kernel — so the output is cast instead; the
+    TPU MXU accumulates f32 internally either way).
+    """
     y = jax.lax.conv_general_dilated(
-        x[None],
+        x.astype(p["w"].dtype)[None],
         p["w"],
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )[0]
+        precision="highest",
+    )[0].astype(jnp.float32)
     return y + p["b"] if "b" in p else y
 
 
 def conv2d_transpose(p, x, stride: int = 2):
     """ConvTranspose2d kernel=stride (the BEV deblock): exact upsample."""
     y = jax.lax.conv_transpose(
-        x[None],
+        x.astype(p["w"].dtype)[None],
         p["w"],
         strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )[0]
+        precision="highest",
+    )[0].astype(jnp.float32)
     return y + p["b"] if "b" in p else y
 
 

@@ -238,7 +238,8 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         params["block8"], state["block8"], cat1, _K_BLOCK, tbl1_block, **bbn
     )
 
-    logits_b = y_b.feats @ params["final"]["w"] + params["final"]["b"]
+    from .layers import mm
+    logits_b = mm(y_b.feats, params["final"]["w"]) + params["final"]["b"]
     logits_b = logits_b * y_b.occ[..., None]
     logits = bricks_to_voxel_feats(y_b.replace_feats(logits_b))
     per_point = devoxelize(logits, p2v).reshape(W, P, -1)

@@ -44,7 +44,12 @@ class InsMOSModel:
         Returns a dict with per-point MOS logits for the current scan,
         motion logits, detection outputs, and the new BN state.
         """
+        from .layers import cast_compute
+
         cfg = self.cfg
+        # mixed precision: f32 master params, conv/matmul weights cast to the
+        # compute dtype (accumulation stays f32 inside every matmul)
+        params = cast_compute(params, cfg.runtime.compute_dtype)
         points = sample["points"]  # (W, P, 4)
         W, P = points.shape[:2]
         point_valid = (

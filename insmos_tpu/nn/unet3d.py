@@ -309,7 +309,8 @@ def unet3d_forward(
         params["fuse1_final"], state["fuse1_final"], cat, _K3, tables[1], **bn
     )
 
-    logits_b = y_b.feats @ params["mos_head"]["w"] + params["mos_head"]["b"]
+    from .layers import mm
+    logits_b = mm(y_b.feats, params["mos_head"]["w"]) + params["mos_head"]["b"]
     logits_b = logits_b * y_b.occ[..., None]
     mos_logits = bricks_to_voxel_feats(y_b.replace_feats(logits_b))
     return mos_logits, bev, ns

@@ -65,7 +65,9 @@ def box_class_features(coords, boxes, num_classes: int, box_valid=None):
     onehot = jnp.where(
         (cls[:, None] - 1) == jnp.arange(num_classes)[None, :], 1.0, 0.0
     )  # (M, C)
-    feat = jnp.einsum("nm,mc->nc", inside.astype(jnp.float32), onehot)
+    feat = jnp.einsum(
+        "nm,mc->nc", inside.astype(jnp.float32), onehot, precision="highest"
+    )
     return jnp.minimum(feat, 1.0)
 
 

@@ -204,7 +204,7 @@ def subm_conv_bricks(
     npos_all = nb_table
 
     B = b.capacity
-    f = jnp.where(b.occ[..., None], b.feats, 0.0)
+    f = jnp.where(b.occ[..., None], b.feats, 0.0).astype(weight.dtype)
     f_flat = jnp.concatenate(
         [f.reshape(B, BX * cin), jnp.zeros((1, BX * cin), f.dtype)]
     )
@@ -224,13 +224,13 @@ def subm_conv_bricks(
                 sl = nb[:, BX + int(dx) : 2 * BX + int(dx), :]
                 acc = acc + jnp.einsum(
                     "bsc,cd->bsd", sl, w_g[i],
-                    preferred_element_type=weight.dtype,
+                    preferred_element_type=jnp.float32, precision="highest",
                 )
             return acc, None
 
         out, _ = jax.lax.scan(
             g_body,
-            jnp.zeros((rows, BX, cout), weight.dtype),
+            jnp.zeros((rows, BX, cout), jnp.float32),
             (jnp.swapaxes(npos_rows, 0, 1), w),
         )
         return out * occ_rows[..., None]

@@ -32,6 +32,15 @@ from .tensor import SparseTensor
 from .voxelize import unique_voxels
 
 
+def _mm(x, w):
+    """Matmul with f32 accumulation at HIGHEST precision (f32 default
+    precision lowers pathologically slowly on the target TPU runtime —
+    tools/probe_matmul2.py; no-op for bf16 operands)."""
+    return jnp.matmul(
+        x, w, preferred_element_type=jnp.float32, precision="highest"
+    )
+
+
 def _gather_rows(feats, idx):
     """Gather feature rows; idx -1 -> zeros."""
     v = feats.shape[0]
@@ -70,12 +79,12 @@ def neighbor_table(
 def gather_matmul(x: SparseTensor, idx, weight, out_valid, chunk=None):
     """(V, K) neighbour table + (K, Cin, Cout) weight -> (V, Cout) conv."""
     K, cin, cout = weight.shape
-    feats = jnp.where(x.valid[:, None], x.feats, 0.0)
+    feats = jnp.where(x.valid[:, None], x.feats, 0.0).astype(weight.dtype)
     w2 = weight.reshape(K * cin, cout)
 
     def run(rows_idx, rows_valid):
         gathered = _gather_rows(feats, rows_idx.reshape(-1)).reshape(-1, K * cin)
-        out = gathered @ w2
+        out = _mm(gathered, w2)
         return jnp.where(rows_valid[:, None], out, 0.0)
 
     V = idx.shape[0]
@@ -102,14 +111,14 @@ def _apply_kernel(
     s = jnp.asarray(stride, jnp.int32)
     p = jnp.asarray(pad, jnp.int32)
     offs = jnp.asarray(offsets, jnp.int32)  # (K, D)
-    feats = jnp.where(x.valid[:, None], x.feats, 0.0)
+    feats = jnp.where(x.valid[:, None], x.feats, 0.0).astype(weight.dtype)
     w2 = weight.reshape(K * cin, cout)
 
     def run(rows_coords, rows_valid):
         centers = rows_coords[:, None, :] * s[None, None] - p[None, None] + offs[None]
         idx = gather_neighbor_idx(x, centers)  # (rows, K)
         gathered = _gather_rows(feats, idx.reshape(-1)).reshape(-1, K * cin)
-        out = gathered @ w2
+        out = _mm(gathered, w2)
         return jnp.where(rows_valid[:, None], out, 0.0)
 
     V = out_coords.shape[0]
@@ -216,15 +225,18 @@ def strided_conv_pairs(
     zero neighbor lookups (the dedup already paired inputs with outputs)."""
     K, cin, cout = weight.shape
     V, Kc = pairs.shape
-    feats = jnp.where(x.valid[:, None], x.feats, 0.0)
+    feats = jnp.where(x.valid[:, None], x.feats, 0.0).astype(weight.dtype)
     # (V, K, Cout) projections, then per (input, candidate) select its k row
-    proj = jnp.einsum("vc,kcd->vkd", feats, weight)
+    proj = jnp.einsum(
+        "vc,kcd->vkd", feats, weight,
+        preferred_element_type=jnp.float32, precision="highest",
+    )
     sel = jnp.take_along_axis(
         proj, jnp.clip(kidx, 0, K - 1)[..., None], axis=1
     )  # (V, Kc, Cout)
     sel = jnp.where(pairs[..., None] >= 0, sel, 0.0)
     tgt = jnp.where(pairs >= 0, pairs, out_sites.capacity)
-    out = jnp.zeros((out_sites.capacity + 1, cout), sel.dtype)
+    out = jnp.zeros((out_sites.capacity + 1, cout), jnp.float32)
     out = out.at[tgt.reshape(-1)].add(sel.reshape(-1, cout), mode="drop")
     out = out[:-1] * out_sites.valid[:, None]
     return out_sites.replace_feats(out)
@@ -238,8 +250,11 @@ def inverse_conv_pairs(
     weights — zero lookups (spconv SparseInverseConv3d semantics)."""
     K, cin, cout = weight.shape
     V, Kc = pairs.shape
-    feats = jnp.where(coarse.valid[:, None], coarse.feats, 0.0)
-    proj = jnp.einsum("vc,kcd->vkd", feats, weight)  # (Vc, K, Cout)
+    feats = jnp.where(coarse.valid[:, None], coarse.feats, 0.0).astype(weight.dtype)
+    proj = jnp.einsum(
+        "vc,kcd->vkd", feats, weight,
+        preferred_element_type=jnp.float32, precision="highest",
+    )  # (Vc, K, Cout)
     flatproj = jnp.concatenate(
         [proj.reshape(-1, cout), jnp.zeros((1, cout), proj.dtype)]
     )
@@ -286,7 +301,7 @@ def inverse_conv(
     offs = jnp.asarray(make_offsets(kernel_size, centered=False), jnp.int32)
     s = jnp.asarray(stride, jnp.int32)
     p = jnp.asarray(pad, jnp.int32)
-    feats = jnp.where(x.valid[:, None], x.feats, 0.0)
+    feats = jnp.where(x.valid[:, None], x.feats, 0.0).astype(weight.dtype)
     w2 = weight.reshape(K * cin, cout)
 
     def run(f_coords, f_valid):
@@ -297,7 +312,7 @@ def inverse_conv(
         idx = lookup_keys(x.keys, qkeys.reshape(-1)).reshape(exact.shape)
         idx = jnp.where(exact, idx, -1)
         gathered = _gather_rows(feats, idx.reshape(-1)).reshape(-1, K * cin)
-        out = gathered @ w2
+        out = _mm(gathered, w2)
         return jnp.where(f_valid[:, None], out, 0.0)
 
     V = fine_sites.capacity

@@ -13,10 +13,30 @@ Layout transforms (validated numerically against torch in tests):
   (kz, ky, kx) with kx fastest when flattened):
   -> ours (K, in, out) with K enumerated z-slowest / x-fastest — the same
   flattened order, so the transform is a pure transpose + reshape.
-- MinkowskiEngine kernels ((K, in, out) already): pass-through; the ME
-  hypercube offset enumeration is assumed x-fastest (flag `me_reverse_k`
-  flips it) — validate against a real released ckpt before trusting
-  converted MotionNet weights.
+- MinkowskiEngine kernels ((K, in, out) already): pass-through.
+
+MinkowskiEngine kernel-offset order (derivation, resolving the round-1
+assumption): ME defines the generalized sparse convolution as
+x_out(u) = sum_{i in N^D(u)} W_i x_in(u + i)  (Choy et al., CVPR'19, eq. 3;
+implemented by kernel maps pairing in = out + offset) — i.e. CROSS-
+CORRELATION, the same sign convention as torch Conv3d, spconv, and our
+engine (make_offsets pairs weight[k] with +offset[k]; validated against
+torch.nn.functional.conv3d on fully-dense grids in
+tests/test_convert.py::test_subm_conv_matches_torch_dense*). The hypercube
+region enumeration in ME 0.5.x (src/kernel_region.hpp, kernel_region::
+coordinate_at) decomposes the linear kernel index with the FIRST coordinate
+axis varying fastest: `for axis in 0..D-1: dst[axis] = lower[axis] +
+(i % size[axis]); i /= size[axis]`. The reference builds ME coordinates as
+[x, y, z, t] (motionnet.py:25-28), so kernel index k enumerates offsets
+x-fastest / t-slowest over [-(s-1)/2, s/2] per dim (odd sizes centered,
+even sizes [0, s) forward — ME kernel maps for even sizes are not
+re-centered) — exactly our make_offsets order. Pass-through is therefore
+the derived-correct mapping. `me_axis_perm` / `me_reverse_k` remain as
+escape hatches for validating against a real released checkpoint (none is
+available in this environment): reverse_k on a centered odd kernel equals
+negating all offsets (the correlation<->convolution flip), and axis_perm
+covers any enumeration-order permutation; both are exercised by
+tests/test_convert.py::test_me_kernel_reorder_roundtrip.
 
 Key mapping tables are explicit; unknown keys are reported, never guessed.
 """
@@ -51,8 +71,31 @@ def t_spconv(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.reshape(k0 * k1 * k2, in_c, out_c))
 
 
-def t_me_kernel(w: np.ndarray, reverse_k: bool = False) -> np.ndarray:
-    """ME kernel (K, in, out) -> ours (K, in, out)."""
+def t_me_kernel(
+    w: np.ndarray,
+    reverse_k: bool = False,
+    kernel_size: tuple[int, ...] | None = None,
+    axis_perm: tuple[int, ...] | None = None,
+) -> np.ndarray:
+    """ME kernel (K, in, out) -> ours (K, in, out).
+
+    Identity by derivation (see module docstring): ME enumerates hypercube
+    offsets first-axis-fastest over [x, y, z, t] coordinates — the same
+    order as make_offsets. `axis_perm` (a permutation of the spatial axes,
+    requires kernel_size) and `reverse_k` are escape hatches for checkpoint
+    validation against a permuted/flipped enumeration hypothesis.
+    """
+    if axis_perm is not None:
+        assert kernel_size is not None, "axis_perm needs kernel_size"
+        K, cin, cout = w.shape
+        assert K == int(np.prod(kernel_size))
+        # our canonical index: axis 0 fastest -> unflatten reversed (C-order)
+        wk = w.reshape(*kernel_size[::-1], cin, cout)
+        d = len(kernel_size)
+        # permute spatial axes (perm given in axis-0-fastest convention)
+        rev_perm = [d - 1 - axis_perm[d - 1 - a] for a in range(d)]
+        wk = np.transpose(wk, (*rev_perm, d, d + 1))
+        w = wk.reshape(K, cin, cout)
     return np.ascontiguousarray(w[::-1] if reverse_k else w)
 
 

@@ -53,9 +53,9 @@ def test_build_bricks_roundtrip(rng):
     "dims,kernel,n,c_in,c_out",
     [
         ((32, 8, 6), (3, 3, 3), 80, 5, 7),
-        ((48, 6, 4), (5, 5, 5), 100, 1, 8),
-        ((32, 6, 4, 3), (3, 3, 3, 3), 90, 4, 6),
-        ((32, 5, 4, 3), (5, 5, 5, 1), 70, 1, 8),
+        pytest.param((48, 6, 4), (5, 5, 5), 100, 1, 8, marks=pytest.mark.slow),
+        pytest.param((32, 6, 4, 3), (3, 3, 3, 3), 90, 4, 6, marks=pytest.mark.slow),
+        pytest.param((32, 5, 4, 3), (5, 5, 5, 1), 70, 1, 8, marks=pytest.mark.slow),
     ],
 )
 def test_subm_conv_bricks_matches_reference_engine(rng, dims, kernel, n, c_in, c_out):
@@ -73,6 +73,7 @@ def test_subm_conv_bricks_matches_reference_engine(rng, dims, kernel, n, c_in, c
     np.testing.assert_allclose(got, ref_feats, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_subm_conv_bricks_chunked(rng):
     dims = (32, 8, 4)
     x = _rand_sparse(rng, dims, 64, 3, capacity=128)
@@ -86,6 +87,7 @@ def test_subm_conv_bricks_chunked(rng):
     np.testing.assert_allclose(full, chunked, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_x_halo_across_brick_boundary(rng):
     """Two voxels in adjacent bricks of the same row must see each other."""
     dims = (32, 4, 4)
@@ -159,11 +161,11 @@ def test_both_side_segments_no_center():
         # measured real-data regime at fine 4D levels (PERF.md), where the
         # round-1 fallback bug was common
         ((64, 12, 8), (3, 3, 3), 0.4, 0),
-        ((64, 12, 8), (3, 3, 3), 0.4, 1),
-        ((64, 12, 8), (5, 5, 5), 0.7, 2),
-        ((64, 8, 6, 4), (3, 3, 3, 3), 0.5, 3),
-        ((64, 8, 6, 4), (5, 5, 5, 1), 0.5, 4),
-        ((64, 8, 6, 4), (3, 3, 3, 3), 0.9, 5),
+        pytest.param((64, 12, 8), (3, 3, 3), 0.4, 1, marks=pytest.mark.slow),
+        pytest.param((64, 12, 8), (5, 5, 5), 0.7, 2, marks=pytest.mark.slow),
+        pytest.param((64, 8, 6, 4), (3, 3, 3, 3), 0.5, 3, marks=pytest.mark.slow),
+        pytest.param((64, 8, 6, 4), (5, 5, 5, 1), 0.5, 4, marks=pytest.mark.slow),
+        pytest.param((64, 8, 6, 4), (3, 3, 3, 3), 0.9, 5, marks=pytest.mark.slow),
     ],
 )
 def test_sparse_row_regime_matches_oracle(dims, kernel, density, seed):

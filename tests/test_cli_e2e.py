@@ -14,6 +14,8 @@ from insmos_tpu.utils.io import read_pred_labels
 
 from test_model import tiny_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def e2e(tmp_path_factory):

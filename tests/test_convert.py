@@ -116,6 +116,7 @@ def test_spconv_transform_shape():
     np.testing.assert_array_equal(out[2, 4, 1], w[1, 0, 0, 2, 4])
 
 
+@pytest.mark.slow
 def test_full_convert_roundtrip_synthetic():
     """Build a torch state_dict with the reference's exact key names/shapes,
     convert, and verify every tensor landed and none is left over."""
@@ -248,3 +249,121 @@ def test_full_convert_roundtrip_synthetic():
         params2, state, sample
     )
     assert np.isfinite(np.asarray(out["point_logits"])).all()
+
+
+def test_subm_conv_matches_torch_dense_3d(rng):
+    """Independent oracle for the engine's weight<->offset pairing and sign
+    convention: on a FULLY-occupied grid a submanifold conv equals standard
+    dense cross-correlation (torch conv3d) — the semantics spconv and
+    MinkowskiEngine both implement (Choy et al. CVPR'19 eq. 3)."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from insmos_tpu.sparse import SparseTensor, subm_gather_conv, unique_voxels
+
+    dims = (6, 5, 4)  # (X, Y, Z)
+    cin, cout = 3, 2
+    kernel = (3, 3, 3)
+    X, Y, Z = dims
+    coords = np.stack(np.meshgrid(
+        np.arange(X), np.arange(Y), np.arange(Z), indexing="ij"
+    ), -1).reshape(-1, 3).astype(np.int32)
+    V = coords.shape[0]
+    feats = rng.normal(size=(V, cin)).astype(np.float32)
+    sites, p2v, _, _ = unique_voxels(jnp.asarray(coords), dims, V)
+    f = np.zeros((V, cin), np.float32)
+    f[np.asarray(p2v)] = feats
+    x = SparseTensor(sites.coords, sites.keys, jnp.asarray(f), sites.valid, dims)
+
+    K = int(np.prod(kernel))
+    w = rng.normal(size=(K, cin, cout)).astype(np.float32)
+    ours = np.asarray(subm_gather_conv(x, jnp.asarray(w), kernel).masked_feats())
+
+    # torch: volume (1, C, Z, Y, X); our K enumerates x-fastest -> (kz,ky,kx)
+    dense = np.zeros((cin, Z, Y, X), np.float32)
+    cc = np.asarray(sites.coords)
+    dense[:, cc[:, 2], cc[:, 1], cc[:, 0]] = f.T
+    wt = w.reshape(kernel[2], kernel[1], kernel[0], cin, cout)  # (kz,ky,kx,ci,co)
+    wt = np.transpose(wt, (4, 3, 0, 1, 2))  # (cout, cin, kz, ky, kx)
+    ref = F.conv3d(torch.from_numpy(dense[None]), torch.from_numpy(wt), padding=1)
+    ref = ref[0].numpy()  # (cout, Z, Y, X)
+    ref_rows = ref[:, cc[:, 2], cc[:, 1], cc[:, 0]].T  # (V, cout)
+    np.testing.assert_allclose(ours, ref_rows, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_subm_conv_matches_torch_dense_4d(rng):
+    """Same oracle in 4D: (3,3,3,3) kernel == per-dt torch conv3d composed
+    with temporal shifts. Validates the MotionNet block-conv convention."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from insmos_tpu.sparse import SparseTensor, subm_gather_conv, unique_voxels
+
+    dims = (5, 4, 3, 3)  # (X, Y, Z, T)
+    cin, cout = 2, 2
+    kernel = (3, 3, 3, 3)
+    X, Y, Z, T = dims
+    coords = np.stack(np.meshgrid(
+        *[np.arange(d) for d in dims], indexing="ij"
+    ), -1).reshape(-1, 4).astype(np.int32)
+    V = coords.shape[0]
+    sites, p2v, _, _ = unique_voxels(jnp.asarray(coords), dims, V)
+    f = rng.normal(size=(V, cin)).astype(np.float32)
+    x = SparseTensor(sites.coords, sites.keys, jnp.asarray(f), sites.valid, dims)
+
+    K = int(np.prod(kernel))
+    w = rng.normal(size=(K, cin, cout)).astype(np.float32)
+    ours = np.asarray(subm_gather_conv(x, jnp.asarray(w), kernel).masked_feats())
+
+    cc = np.asarray(sites.coords)
+    dense = np.zeros((T, cin, Z, Y, X), np.float32)
+    dense[cc[:, 3], :, cc[:, 2], cc[:, 1], cc[:, 0]] = np.asarray(x.feats)
+    # our K enum: x fastest ... t slowest -> (kt, kz, ky, kx) on unflatten
+    wt = w.reshape(3, 3, 3, 3, cin, cout)  # (kt, kz, ky, kx, ci, co)
+    ref = np.zeros((T, cout, Z, Y, X), np.float32)
+    for kt in range(3):
+        dt = kt - 1
+        wk = np.transpose(wt[kt], (4, 3, 0, 1, 2))  # (co, ci, kz, ky, kx)
+        y = F.conv3d(torch.from_numpy(dense), torch.from_numpy(wk), padding=1).numpy()
+        # out(t) += conv(in(t + dt))
+        if dt == 0:
+            ref += y
+        elif dt == 1:
+            ref[:-1] += y[1:]
+        else:
+            ref[1:] += y[:-1]
+    ref_rows = ref[cc[:, 3], :, cc[:, 2], cc[:, 1], cc[:, 0]]
+    np.testing.assert_allclose(ours, ref_rows, atol=1e-4)
+
+
+def test_me_kernel_reorder_roundtrip(rng):
+    from insmos_tpu.utils.convert import t_me_kernel
+
+    kernel = (5, 5, 5, 1)
+    K = int(np.prod(kernel))
+    w = rng.normal(size=(K, 2, 3)).astype(np.float32)
+    # identity permutation / no reverse: pass-through
+    np.testing.assert_array_equal(t_me_kernel(w), w)
+    np.testing.assert_array_equal(
+        t_me_kernel(w, kernel_size=kernel, axis_perm=(0, 1, 2, 3)), w
+    )
+    # reverse twice = identity
+    np.testing.assert_array_equal(
+        t_me_kernel(t_me_kernel(w, reverse_k=True), reverse_k=True), w
+    )
+    # swapping x<->y twice = identity
+    p = (1, 0, 2, 3)
+    w2 = t_me_kernel(w, kernel_size=kernel, axis_perm=p)
+    np.testing.assert_array_equal(
+        t_me_kernel(w2, kernel_size=kernel, axis_perm=p), w
+    )
+    # marker check: offset (+1x) weight moves to offset (+1y) under x<->y swap
+    kernel3 = (3, 3, 3)
+    w = np.zeros((27, 1, 1), np.float32)
+    w[14] = 1.0  # x-fastest enum: (dx,dy,dz)=(+1,0,0) -> 1 + (1*3) + (1*9) + 1
+    w2 = t_me_kernel(w, kernel_size=kernel3, axis_perm=(1, 0, 2))
+    assert w2[16, 0, 0] == 1.0  # (0,+1,0) -> 1 + 3*(1+1) + 9*1 = 16
+    assert w2.sum() == 1.0

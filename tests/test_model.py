@@ -11,6 +11,8 @@ from insmos_tpu.config import Config, DataConfig, ModelConfig, MotionNetConfig
 from insmos_tpu.data import KittiWindowDataset
 from insmos_tpu.nn import InsMOSModel
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_config(window: int = 4) -> Config:
     base = Config()

@@ -59,6 +59,7 @@ def _rand_boxes(rng, n, z=True):
 
 
 # -------------------------------------------------------------------- IoU
+@pytest.mark.slow
 def test_overlap_identity():
     box = np.array([[1.0, 2.0, 0.0, 4.0, 2.0, 1.5, 0.7]])
     ov = np.asarray(rotated_overlap_bev(jnp.asarray(box), jnp.asarray(box)))
@@ -109,6 +110,7 @@ def test_overlap_degenerate_padding():
 
 
 # -------------------------------------------------------------------- NMS
+@pytest.mark.slow
 def test_nms_matches_oracle(rng):
     for trial in range(5):
         n = 64

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from insmos_tpu.sparse import (
     SparseTensor,
@@ -126,6 +127,7 @@ def test_unique_voxels_invalid_points():
     assert int(p2v[1]) == -1
 
 
+@pytest.mark.slow
 def test_voxelize_mean_of_first_k(rng):
     pc_range = [0, 0, 0, 10, 10, 10]
     dims = (10, 10, 10)
@@ -224,6 +226,7 @@ def _dense_strided_oracle(dense, occ, weight, kernel, stride, pad, out_dims):
     return out, out_occ
 
 
+@pytest.mark.slow
 def test_strided_conv_vs_dense_oracle(rng):
     dims = (8, 8, 6)
     out_dims = (4, 4, 3)

@@ -16,6 +16,8 @@ from insmos_tpu.train.metrics import (
 )
 from insmos_tpu.train.targets import assign_targets
 
+pytestmark = pytest.mark.slow
+
 
 # ----------------------------------------------------------------- mos loss
 def _torch_mos_loss(logits, labels):

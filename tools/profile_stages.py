@@ -15,15 +15,24 @@ import time
 sys.path.insert(0, ".")
 
 
-def timeit(fn, args, iters=5, name=""):
+def _fence(out):
+    """Force a tiny host fetch (block_until_ready does not reliably fence on
+    the relay runtime — PERF.md)."""
     import jax
+    import jax.numpy as jnp
 
+    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
+    digest = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+    return float(digest)
+
+
+def timeit(fn, args, iters=5, name=""):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     dt = (time.perf_counter() - t0) / iters * 1000
     print(f"{name:32s} {dt:9.2f} ms")
     return dt
