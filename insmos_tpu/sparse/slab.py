@@ -1,0 +1,576 @@
+"""Slab engine: T-dense sparse tensors + windowed-gather convolutions.
+
+The second-generation TPU-native sparse-conv engine, replacing both the
+per-voxel binary-search path (convs.py) and the brick path (bricks.py
+removed) on every deployed network. Two measured facts drive the design
+(tools/probe_rowdense.py, tools/probe_fixes.py on TPU v5e):
+
+1. Random row gathers cost ~5-7 ns/row REGARDLESS of row width up to
+   ~512 B — so the engine must minimize the NUMBER of fetches and make
+   every fetch wide.
+2. XLA pads trailing array dims to 128 lanes; any hot array with a tiny
+   trailing dim (3, 8, ...) explodes 16-50x in memory/bandwidth — so hot
+   data is laid out with a wide trailing axis (T*C features) or with the
+   long axis trailing (tables as (G, kx, V)).
+
+Representation (``Slab``): sites are the SORTED set of *3D* voxel keys;
+the temporal axis of the reference's 4D MinkowskiEngine tensors
+(motionnet.py:25-36) is stored DENSE per site: ``feats (V, T*C)``,
+``occ (V, T)``. Pose-aligned scan windows overlap heavily on static
+structure, so the 3D union is ~2-4x smaller than the 4D voxel count, and
+every spatial neighbour fetch serves all T time slices at once. t-kernel
+offsets become static shifts of the dense T axis. For 3D tensors T=1 and
+the slab degenerates to a plain sorted sparse tensor.
+
+Convolution = windowed gather + one-hot align + matmul:
+- Neighbour keys along x are CONSECUTIVE integers, and the sorted site
+  array stores whichever of them exist in CONSECUTIVE slots. So for each
+  non-x kernel offset group (dy, dz) a single widened ``lax.gather``
+  (slice_sizes=(kx, T*C)) fetches all kx x-neighbours in ONE fetch:
+  V*G fetches per conv instead of V*K (kx fewer), each kx*T*C wide.
+- Which window slot holds which dx is a tiny per-site ``slotmap`` (int8),
+  precomputed once per (site set, kernel) via a transient dense grid of
+  site indices (one scatter + G widened probe gathers) and consumed as a
+  (kx, kx) one-hot einsum — this replaces spconv's indice_key rulebooks
+  and MinkowskiEngine's kernel maps (SURVEY.md S2.2).
+- Strided convs reuse the same machinery: output sites are derived by
+  arithmetic (dedup of child/parent coords) and the window base is
+  ``o*s - p`` in the input grid. Inverse convs with kernel==stride==2
+  (the MotionNet up-convs) have exactly one parent per fine site.
+
+Capacity overflow (sites beyond a level's static capacity) is COUNTED and
+surfaced (``SlabStats``) instead of silently truncating — the reference's
+only cap is the 100k voxelizer (models/models.py:287); ours are tested to
+sit above measured occupancy and monitored.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tensor import KEY_SENTINEL
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Slab:
+    """Fixed-capacity T-dense sparse tensor on a 3D integer grid.
+
+    keys:   (V,) int32 sorted linearized 3D coords (x fastest); padding
+            rows hold KEY_SENTINEL and sort last.
+    coords: (V, 3) int32 (x, y, z); garbage on padding rows.
+    occ:    (V, T) bool — which (site, t) 4D voxels actually exist.
+    feats:  (V, T*C) — ZERO at non-occupied slots (maintained invariant).
+    valid:  (V,) bool.
+    dims:   static (X, Y, Z).
+    T:      static temporal extent (1 for 3D tensors).
+    """
+
+    keys: jax.Array
+    coords: jax.Array
+    occ: jax.Array
+    feats: jax.Array
+    valid: jax.Array
+    dims: tuple[int, ...] = field(metadata={"static": True})
+    T: int = field(metadata={"static": True})
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def num_features(self) -> int:
+        return self.feats.shape[-1] // self.T
+
+    def replace_feats(self, feats) -> "Slab":
+        return Slab(self.keys, self.coords, self.occ, feats, self.valid, self.dims, self.T)
+
+    def occ_flat(self) -> jax.Array:
+        return self.occ.reshape(-1)  # (V*T,)
+
+    def mask_feats(self, feats=None) -> jax.Array:
+        """Zero features at non-occupied slots: (V, T*C)."""
+        f = self.feats if feats is None else feats
+        C = f.shape[-1] // self.T
+        V = f.shape[0]
+        f4 = f.reshape(V, self.T, C)
+        return jnp.where(self.occ[..., None], f4, 0.0).reshape(V, self.T * C)
+
+
+def linearize3(coords, dims):
+    """(..., 3) int coords -> (...,) int32 key, x fastest; OOB -> sentinel."""
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    ok = (
+        (x >= 0) & (x < dims[0]) & (y >= 0) & (y < dims[1]) & (z >= 0) & (z < dims[2])
+    )
+    key = (z * dims[1] + y) * dims[0] + x
+    return jnp.where(ok, key, KEY_SENTINEL).astype(jnp.int32)
+
+
+def delinearize3(keys, dims):
+    x = keys % dims[0]
+    y = (keys // dims[0]) % dims[1]
+    z = keys // (dims[0] * dims[1])
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+
+# --------------------------------------------------------------- building
+def _compact_by_sort(order_key, payload, capacity, fill):
+    """Keep rows where order_key is small: sort by key, take [:capacity].
+
+    Replaces scatter-based compaction (XLA scatter measured ~85 ns/row on
+    the target runtime vs ~8 ns/row for sort+slice at these sizes).
+    """
+    _, out = jax.lax.sort((order_key, payload), num_keys=1)
+    out = out[:capacity]
+    if out.shape[0] < capacity:
+        out = jnp.concatenate(
+            [out, jnp.full((capacity - out.shape[0],), fill, out.dtype)]
+        )
+    return out
+
+
+def build_slab(
+    coords3,  # (N, 3) int32
+    tcol,  # (N,) int32 in [0, T)
+    point_valid,  # (N,) bool
+    dims: Sequence[int],
+    T: int,
+    capacity: int,
+):
+    """Points -> Slab site set. Returns (slab-with-empty-feats,
+    point_to_slot (N,) int32 flat (site*T + t) index or -1, n_sites,
+    n_dropped_points).
+
+    One 2-key sort + cumsums + one small compaction sort + one occ scatter.
+    """
+    n = coords3.shape[0]
+    key3 = linearize3(coords3, dims)
+    key3 = jnp.where(point_valid, key3, KEY_SENTINEL)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sk, st, sperm = jax.lax.sort(
+        (key3, tcol.astype(jnp.int32), iota), num_keys=2
+    )
+
+    alive = sk != KEY_SENTINEL
+    first3 = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & alive
+    rank3 = jnp.cumsum(first3.astype(jnp.int32)) - 1  # site index per sorted pt
+    n_sites = jnp.max(jnp.where(first3, rank3 + 1, 0))  # TRUE count (pre-cap)
+    in_cap = alive & (rank3 < capacity)
+    n_dropped = jnp.sum(alive & ~in_cap)
+    rank3 = jnp.where(in_cap, rank3, -1)
+
+    # compact site keys (order already ascending among firsts)
+    site_keys = _compact_by_sort(
+        jnp.where(first3 & in_cap, rank3, INT32_MAX),
+        sk,
+        capacity,
+        KEY_SENTINEL,
+    )
+    site_keys = jnp.where(jnp.arange(capacity) < n_sites, site_keys, KEY_SENTINEL)
+    valid = site_keys != KEY_SENTINEL
+    coords = jnp.where(
+        valid[:, None], delinearize3(jnp.where(valid, site_keys, 0), dims), 0
+    )
+
+    # occupancy: scatter first-(site, t) pairs into the flat (V*T) grid
+    first4 = (
+        jnp.concatenate([jnp.ones((1,), bool), (sk[1:] != sk[:-1]) | (st[1:] != st[:-1])])
+        & in_cap
+    )
+    flat4 = jnp.where(first4, rank3 * T + st, capacity * T)
+    occ = jnp.zeros((capacity * T + 1,), bool).at[flat4].set(True, mode="drop")
+    occ = occ[:-1].reshape(capacity, T)
+
+    # per-point flat slot: invert the sort permutation by sorting back
+    p2slot_sorted = jnp.where(in_cap, rank3 * T + st, -1)
+    _, p2slot = jax.lax.sort((sperm, p2slot_sorted), num_keys=1)
+
+    slab = Slab(
+        keys=site_keys,
+        coords=coords,
+        occ=occ,
+        feats=jnp.zeros((capacity, T * 0), jnp.float32),
+        valid=valid,
+        dims=tuple(dims),
+        T=T,
+    )
+    return slab, p2slot, n_sites, n_dropped
+
+
+def slab_from_sparse(x) -> Slab:
+    """SparseTensor (3D) -> Slab with T=1 (shared site machinery)."""
+    return Slab(
+        keys=x.keys,
+        coords=x.coords,
+        occ=x.valid[:, None],
+        feats=x.feats,
+        valid=x.valid,
+        dims=tuple(x.dims),
+        T=1,
+    )
+
+
+def derive_strided_sites(
+    x: Slab, kernel3, stride3, pad3, out_dims, capacity: int
+):
+    """Output site set of a strided conv on the 3D site grid: every output
+    site receiving >= 1 kernel contribution, deduplicated, sorted.
+
+    Candidates per input site i (per dim): o in [ceil((i+p-k+1)/s),
+    floor((i+p)/s)] — at most ceil(k/s) per dim. Returns (Slab with empty
+    feats and occ from OR over children, n_sites, n_dropped_sites).
+    """
+    per_dim = [int(np.ceil(k / s)) for k, s in zip(kernel3, stride3)]
+    ranges = [np.arange(c, dtype=np.int32) for c in per_dim]
+    mesh = np.meshgrid(*ranges[::-1], indexing="ij")
+    cand = np.stack([m.reshape(-1) for m in mesh[::-1]], axis=-1)  # (Kc, 3)
+    Kc = cand.shape[0]
+
+    s = jnp.asarray(stride3, jnp.int32)
+    p = jnp.asarray(pad3, jnp.int32)
+    k = jnp.asarray(kernel3, jnp.int32)
+    i = x.coords
+    o_hi = jnp.floor_divide(i + p[None], s[None])
+    cands = o_hi[:, None, :] - jnp.asarray(cand)[None]  # (V, Kc, 3)
+    lo_ok = cands * s[None, None] - p[None, None] <= i[:, None, :]
+    hi_ok = cands * s[None, None] - p[None, None] + (k[None, None] - 1) >= i[:, None, :]
+    ok = (lo_ok & hi_ok & (cands >= 0)).all(-1) & x.valid[:, None]
+
+    keys = linearize3(cands.reshape(-1, 3), out_dims)
+    keys = jnp.where(ok.reshape(-1), keys, KEY_SENTINEL)
+    skeys = jax.lax.sort(keys)
+    alive = skeys != KEY_SENTINEL
+    first = jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]) & alive
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_sites = jnp.max(jnp.where(first, rank + 1, 0))
+    n_dropped = jnp.maximum(n_sites - capacity, 0)
+
+    site_keys = _compact_by_sort(
+        jnp.where(first & (rank < capacity), rank, INT32_MAX),
+        skeys,
+        capacity,
+        KEY_SENTINEL,
+    )
+    site_keys = jnp.where(
+        jnp.arange(capacity) < jnp.minimum(n_sites, capacity), site_keys, KEY_SENTINEL
+    )
+    valid = site_keys != KEY_SENTINEL
+    coords = jnp.where(
+        valid[:, None], delinearize3(jnp.where(valid, site_keys, 0), out_dims), 0
+    )
+    out = Slab(
+        keys=site_keys,
+        coords=coords,
+        occ=jnp.zeros((capacity, x.T), bool),  # filled by the strided conv
+        feats=jnp.zeros((capacity, 0), jnp.float32),
+        valid=valid,
+        dims=tuple(out_dims),
+        T=x.T,
+    )
+    return out, n_sites, n_dropped
+
+
+# ------------------------------------------------------------ dense grid
+def site_grid(x: Slab) -> jax.Array:
+    """Transient dense (X*Y*Z + pad,) int32 map: key -> site index or -1.
+
+    One scatter of V entries; consumed by widened window probes. The +2
+    tail cells absorb clamped out-of-range probes.
+    """
+    n_cells = math.prod(x.dims)
+    grid = jnp.full((n_cells + 2,), -1, jnp.int32)
+    safe = jnp.where(x.valid, x.keys, n_cells + 2)  # OOB -> dropped
+    return grid.at[safe].set(
+        jnp.arange(x.capacity, dtype=jnp.int32), mode="drop"
+    )
+
+
+@dataclass
+class WindowTables:
+    """Per-(site set, kernel geometry) neighbour tables.
+
+    wstart:  (G, V) int32 — array index of the first present x-window
+             neighbour for group g (Vin = zero-pad row when none).
+    slotmap: (G, kx, V) int8 — window slot holding kernel x-position j,
+             or -1 when that neighbour is absent.
+    """
+
+    wstart: jax.Array
+    slotmap: jax.Array
+    kx: int
+    vin: int
+
+
+jax.tree_util.register_dataclass(
+    WindowTables, data_fields=["wstart", "slotmap"], meta_fields=["kx", "vin"]
+)
+
+
+def _groups_yz(kernel3):
+    """Non-x kernel offset groups (ky, kz), y fastest — enumeration order
+    matches make_offsets (weight axis order)."""
+    outs = []
+    for kz_i in range(kernel3[2]):
+        for ky_i in range(kernel3[1]):
+            outs.append((ky_i, kz_i))
+    return outs
+
+
+def window_tables(
+    grid: jax.Array,  # site_grid(input slab)
+    in_dims,
+    out_coords,  # (V, 3) int32 output sites
+    out_valid,  # (V,)
+    kernel3,
+    stride3=(1, 1, 1),
+    pad3=None,
+    vin: int = 0,
+) -> WindowTables:
+    """Build wstart/slotmap for a (possibly strided) conv.
+
+    Input x needed by output o at kernel x-pos j: ox*sx - px + j —
+    consecutive in j, so one widened grid probe of kx cells per (site,
+    group) finds all of them. Present neighbours among kx consecutive keys
+    occupy consecutive slots of the sorted site array (integer keys with
+    nothing in between), so the feature fetch is a single widened gather
+    at the first present index.
+    """
+    kx = int(kernel3[0])
+    if pad3 is None:  # centered submanifold
+        pad3 = tuple((kk - 1) // 2 for kk in kernel3)
+    groups = _groups_yz(kernel3)
+    X, Y, Z = in_dims
+    n_cells = X * Y * Z
+
+    ox = out_coords[:, 0] * stride3[0] - pad3[0]
+    oy0 = out_coords[:, 1] * stride3[1] - pad3[1]
+    oz0 = out_coords[:, 2] * stride3[2] - pad3[2]
+    # clamp the probe's x-base into the row so the widened gather stays
+    # row-aligned; `off` realigns kernel positions to window positions
+    bx = jnp.clip(ox, 0, max(X - kx, 0))
+    off = ox - bx  # in [-(kx-1), kx-1]; j maps to window cell j + off
+
+    wstarts = []
+    slotmaps = []
+    jx = jnp.arange(kx, dtype=jnp.int32)
+    x_ok = (ox[:, None] + jx[None] >= 0) & (ox[:, None] + jx[None] < X)
+    wpos = jnp.clip(jx[None] + off[:, None], 0, kx - 1)  # (V, kx)
+    for (ky_i, kz_i) in groups:
+        iy = oy0 + ky_i
+        iz = oz0 + kz_i
+        row_ok = out_valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
+        base = (iz * Y + iy) * X + bx
+        base = jnp.where(row_ok, base, n_cells)  # sentinel tail (= -1 cells)
+        got = jax.lax.gather(
+            grid,
+            jnp.clip(base[:, None], 0, n_cells + 2 - kx),
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+            ),
+            slice_sizes=(kx,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (V, kx) grid values at cells bx..bx+kx-1 of the row
+        # realign: kernel x-pos j lives at window cell j + off
+        idx = jnp.take_along_axis(got, wpos, axis=1)
+        idx = jnp.where(x_ok & row_ok[:, None], idx, -1)
+        present = idx >= 0
+        rank = jnp.cumsum(present.astype(jnp.int32), axis=1) - 1  # (V, kx)
+        slot = jnp.where(present, rank, -1).astype(jnp.int8)
+        start = jnp.min(jnp.where(present, idx, INT32_MAX), axis=1)
+        start = jnp.where(start == INT32_MAX, vin, start)
+        wstarts.append(start.astype(jnp.int32))
+        slotmaps.append(slot.T)  # (kx, V)
+
+    return WindowTables(
+        wstart=jnp.stack(wstarts),  # (G, V)
+        slotmap=jnp.stack(slotmaps),  # (G, kx, V)
+        kx=kx,
+        vin=vin,
+    )
+
+
+# ------------------------------------------------------------ convolution
+def _gather_windows(feats_pad, wstart, kx):
+    """(Vin+kx, TC), (V,) -> (V, kx, TC): one widened fetch per site."""
+    tc = feats_pad.shape[-1]
+    vin_pad = feats_pad.shape[0]
+    return jax.lax.gather(
+        feats_pad,
+        jnp.clip(wstart[:, None], 0, vin_pad - kx),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
+        ),
+        slice_sizes=(kx, tc),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+
+
+def window_conv(
+    x: Slab,
+    weight,  # (K, Cin, Cout), K enumerated x-fastest / t-slowest
+    tables: WindowTables,
+    out: Slab,  # output site set (occ used for masking)
+    kernel,  # (kx, ky, kz[, kt])
+    chunk: int | None = None,
+) -> Slab:
+    """Generic windowed sparse conv: subm (out is x, centered tables) or
+    strided (out from derive_strided_sites, tables with stride/pad)."""
+    kx = tables.kx
+    kt = kernel[3] if len(kernel) == 4 else 1
+    G = tables.wstart.shape[0]
+    K, cin, cout = weight.shape
+    assert K == kx * G * kt, (K, kx, G, kt)
+    T = x.T
+    V = out.capacity
+
+    # weight (K=..t,z,y,x-fastest..) -> (G, kt*kx*cin, cout) with the
+    # group's inner layout (kt, kx, cin) matching the data construction
+    w = weight.reshape(kt, G, kx, cin, cout)  # t slowest, (z,y) = G, x fastest
+    w = jnp.moveaxis(w, 1, 0).reshape(G, kt * kx * cin, cout)
+
+    feats_pad = jnp.concatenate(
+        [x.mask_feats().astype(weight.dtype),
+         jnp.zeros((kx, T * cin), weight.dtype)]
+    )
+
+    def run(wstart_g, slotmap_g, acc, w_g):
+        rows = wstart_g.shape[0]
+        win = _gather_windows(feats_pad, wstart_g, kx)  # (rows, kx, T*cin)
+        # align window slots to kernel x-positions: (rows, kx_dx, kx_w)
+        onehot = (
+            slotmap_g.T[:, :, None] == jnp.arange(kx, dtype=jnp.int8)[None, None]
+        ).astype(weight.dtype)
+        aligned = jnp.einsum(
+            "vdw,vwc->vdc", onehot, win,
+            preferred_element_type=weight.dtype,
+            precision="highest",
+        )  # (rows, kx, T*cin)
+        a4 = aligned.reshape(rows, kx, T, cin)
+        if kt > 1:
+            lo = (kt - 1) // 2
+            shifts = []
+            for it in range(kt):
+                ot = it - lo
+                if ot == 0:
+                    shifts.append(a4)
+                elif ot > 0:
+                    z = jnp.zeros((rows, kx, ot, cin), a4.dtype)
+                    shifts.append(jnp.concatenate([a4[:, :, ot:], z], axis=2))
+                else:
+                    z = jnp.zeros((rows, kx, -ot, cin), a4.dtype)
+                    shifts.append(jnp.concatenate([z, a4[:, :, :ot]], axis=2))
+            # (rows, T, kt, kx, cin)
+            stacked = jnp.stack(shifts, axis=1).transpose(0, 3, 1, 2, 4)
+        else:
+            stacked = a4.transpose(0, 2, 1, 3)[:, :, None]  # (rows, T, 1, kx, cin)
+        flat = stacked.reshape(rows, T, kt * kx * cin)
+        contrib = jnp.einsum(
+            "vtk,kc->vtc", flat, w_g,
+            preferred_element_type=jnp.float32,
+            precision="highest",
+        )
+        return acc + contrib.reshape(rows, T * cout)
+
+    def scan_groups(wstart_all, slot_all):
+        rows = wstart_all.shape[1]
+        acc0 = jnp.zeros((rows, T * cout), jnp.float32)
+
+        def body(acc, scanned):
+            ws, sm, wg = scanned
+            return run(ws, sm, acc, wg), None
+
+        acc, _ = jax.lax.scan(body, acc0, (wstart_all, slot_all, w))
+        return acc
+
+    if chunk is None or V <= chunk:
+        out_feats = scan_groups(tables.wstart, tables.slotmap)
+    else:
+        assert V % chunk == 0, f"capacity {V} % chunk {chunk}"
+        nc = V // chunk
+        ws = tables.wstart.reshape(G, nc, chunk).transpose(1, 0, 2)
+        sm = tables.slotmap.reshape(G, kx, nc, chunk).transpose(2, 0, 1, 3)
+        out_feats = jax.lax.map(
+            lambda a: scan_groups(*a), (ws, sm)
+        ).reshape(V, T * cout)
+
+    res = out.replace_feats(out_feats)
+    return res.replace_feats(res.mask_feats())
+
+
+def strided_occ(
+    x: Slab, tables: WindowTables, out: Slab
+) -> Slab:
+    """Fill out.occ = OR over the gathered children's occupancy (the output
+    4D site set of a t-kernel-1 strided conv: same-t children)."""
+    kx = tables.kx
+    occ_pad = jnp.concatenate(
+        [jnp.where(x.valid[:, None], x.occ, False).astype(jnp.float32),
+         jnp.zeros((kx, x.T), jnp.float32)]
+    )
+    G = tables.wstart.shape[0]
+    acc = jnp.zeros((out.capacity, x.T), jnp.float32)
+    for g in range(G):
+        win = _gather_windows(occ_pad, tables.wstart[g], kx)  # (V, kx, T)
+        # window slot w holds the w-th present neighbour: mask w < count
+        count = (tables.slotmap[g] >= 0).sum(axis=0)  # (V,)
+        m = (jnp.arange(kx)[None] < count[:, None]).astype(jnp.float32)
+        acc = acc + jnp.einsum("vw,vwt->vt", m, win)
+    occ = (acc > 0) & out.valid[:, None]
+    return Slab(out.keys, out.coords, occ, out.feats, out.valid, out.dims, out.T)
+
+
+def inverse_s2k2_conv(
+    coarse: Slab,
+    weight,  # (8, cin, cout) or (K=8*kt?...) — kernel (2,2,2[,1])
+    fine: Slab,  # recorded fine site set (occ included)
+    parent_idx,  # (Vf,) int32 index into coarse (or -1)
+) -> Slab:
+    """Inverse of the stride-2 kernel-2 down conv (ME transpose conv in
+    MinkUNet, minkunet.py:96-117): each fine site has exactly one coarse
+    parent (o = f//2) and one kernel position (k = f & 1 per dim).
+    """
+    K, cin, cout = weight.shape
+    T = coarse.T
+    f = coarse.mask_feats().astype(weight.dtype)
+    f_pad = jnp.concatenate([f, jnp.zeros((1, T * cin), f.dtype)])
+    idx = jnp.where(parent_idx >= 0, parent_idx, coarse.capacity)
+    pf = jnp.take(f_pad, idx, axis=0).reshape(fine.capacity, T, cin)
+    kidx = (
+        (fine.coords[:, 0] & 1)
+        + 2 * (fine.coords[:, 1] & 1)
+        + 4 * (fine.coords[:, 2] & 1)
+    )
+    onehot = (kidx[:, None] == jnp.arange(8)[None]).astype(weight.dtype)
+    sel_w = jnp.einsum("vk,kcd->vcd", onehot, weight[:8])  # (Vf, cin, cout)
+    out = jnp.einsum(
+        "vtc,vcd->vtd", pf, sel_w,
+        preferred_element_type=jnp.float32, precision="highest",
+    ).reshape(fine.capacity, T * cout)
+    res = fine.replace_feats(out)
+    return res.replace_feats(res.mask_feats())
+
+
+def parent_index(grid_coarse, coarse_dims, fine: Slab) -> jax.Array:
+    """(Vf,) index of each fine site's stride-2 parent in the coarse slab."""
+    pc = fine.coords // 2
+    key = linearize3(pc, coarse_dims)
+    n_cells = math.prod(coarse_dims)
+    probe = jnp.where(fine.valid & (key != KEY_SENTINEL), key, n_cells + 1)
+    return jnp.take(grid_coarse, probe)
+
+
+def gather_slots(slab: Slab, point_to_slot, C: int):
+    """Per-point features from a slab: slot = site*T + t; -1 -> zeros."""
+    flat = slab.feats.reshape(slab.capacity * slab.T, C)
+    flat = jnp.concatenate([flat, jnp.zeros((1, C), flat.dtype)])
+    idx = jnp.where(point_to_slot >= 0, point_to_slot, slab.capacity * slab.T)
+    return jnp.take(flat, idx, axis=0)
