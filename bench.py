@@ -29,7 +29,15 @@ def _bench_cfg():
 
 
 def make_window(cfg, seed: int = 0):
-    """Synthetic but occupancy-realistic scan window (host numpy)."""
+    """Synthetic but occupancy-realistic scan window (host numpy).
+
+    Temporally COHERENT like real pose-aligned KITTI windows: all scans
+    sample the same static world (ground rings + vertical structures) with
+    per-scan visibility subsets and sensor noise, plus a handful of moving
+    objects. Real aligned windows share most static voxels across scans —
+    the pipeline's site-union capacities are sized for that regime (and
+    overflow is counted, never silent).
+    """
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -37,15 +45,35 @@ def make_window(cfg, seed: int = 0):
     P = cfg.runtime.max_points_per_scan
     n = 122_000  # ~HDL-64E scan after ego-motion compensation
 
+    # static world: radial ground + walls/poles, ~1.6x one scan's points
+    nw = int(n * 1.6)
+    rr = np.abs(rng.normal(0, 22, nw)) + 2.5
+    th = rng.uniform(-np.pi, np.pi, nw)
+    wx = np.clip(rr * np.cos(th), -79, 79)
+    wy = np.clip(rr * np.sin(th), -79, 79)
+    wz = rng.normal(-1.2, 0.8, nw).clip(-3.5, 1.5)
+    n_vert = nw // 10  # vertical structure: stretch z on 10% of points
+    wz[:n_vert] = rng.uniform(-1.5, 1.5, n_vert)
+    world = np.stack([wx, wy, wz], -1).astype(np.float32)
+
+    # moving objects: car-sized clusters translating ~1 m/scan
+    n_obj, n_op = 6, 400
+    obj_pos = rng.uniform(-25, 25, (n_obj, 2))
+    obj_vel = rng.uniform(-1.5, 1.5, (n_obj, 2))
+    obj_pts = rng.normal(0, [1.8, 0.8, 0.5], (n_obj, n_op, 3)).astype(np.float32)
+    obj_pts[..., 2] -= 0.9
+
     pts = np.zeros((W, P, 4), np.float32)
-    # ground plane + clutter: radial distribution like a spinning LiDAR
     for w in range(W):
-        rr = np.abs(rng.normal(0, 22, n)) + 2.5
-        th = rng.uniform(-np.pi, np.pi, n)
-        x = np.clip(rr * np.cos(th), -79, 79)
-        y = np.clip(rr * np.sin(th), -79, 79)
-        z = rng.normal(-1.2, 0.8, n).clip(-3.5, 1.5)
-        pts[w, :n] = np.stack([x, y, z, rng.uniform(0, 1, n)], -1)
+        vis = rng.choice(nw, size=n - n_obj * n_op, replace=False)
+        scan = world[vis] + rng.normal(0, 0.015, (len(vis), 3)).astype(np.float32)
+        dt = w - (W - 1)
+        obs = obj_pts + np.concatenate(
+            [obj_pos + dt * obj_vel, np.zeros((n_obj, 1))], -1
+        )[:, None].astype(np.float32)
+        cloud = np.concatenate([scan, obs.reshape(-1, 3)])
+        pts[w, :n, :3] = cloud
+        pts[w, :n, 3] = rng.uniform(0, 1, n)
     return {
         "points": pts,
         "num_points": np.full((W,), n, np.int32),

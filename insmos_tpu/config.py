@@ -62,10 +62,12 @@ class MotionNetConfig:
     # coordinates live in a fixed-capacity set. Mins are multiples of
     # 8*voxel so integer coords stay divisible-by-stride aligned.
     crop_range: tuple[float, ...] = (-64.0, -54.4, -7.2, 64.0, 54.4, 5.6)
-    # capacities: 4D voxels at strides 1/2/4/8. The t axis never
-    # downsamples, so deep levels shrink slowly (measured on a ~122k-pts
-    # x10 window: 1.20M / 1.13M / 0.83M / 0.37M occupied)
-    capacities: tuple[int, ...] = (1_572_864, 1_310_720, 1_048_576, 524_288)
+    # 3D site-UNION capacities at strides 1/2/4/8 (the slab engine stores
+    # the t axis dense per site — sparse/slab.py). Measured on a coherent
+    # pose-aligned 10x122k window: 430k / 281k / 146k / 50k union sites;
+    # capacities carry 15-35% headroom and overflow is COUNTED (stats),
+    # never silent.
+    site_capacities: tuple[int, ...] = (524_288, 327_680, 196_608, 65_536)
 
     @property
     def grid_size(self) -> tuple[int, int, int]:
@@ -277,7 +279,7 @@ class Config:
         """A small-capacity clone for tests / compile checks."""
         mn = dataclasses.replace(
             self.model.motionnet,
-            capacities=(4 * points, 2 * points, points, points),
+            site_capacities=(4 * points, 2 * points, points, points),
         )
         model = dataclasses.replace(
             self.model,

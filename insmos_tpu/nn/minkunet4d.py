@@ -15,13 +15,19 @@ Structure (channels; kernels as (spatial, temporal)):
   up7     inverse (2,1)         16 -> 8   ; cat stem   -> 16; block8 -> 8
   final   1x1 conv (bias)        8 -> out (3 motion classes)
 
+Runs on the slab engine (sparse/slab.py): sites are the 3D union of the
+pose-aligned window's voxels with a dense T axis, so every spatial
+neighbour fetch serves all scans at once and t-kernel offsets are static
+shifts. The t axis is the scan slot (0..W-1): a pure translation of the
+reference's -9..0 quantized timestamps, which conv offsets cannot observe.
+
 Deviation from the reference (documented): the reference convolves the full
 uncropped cloud; we bound coordinates to cfg.motionnet.crop_range (UNet
 range + receptive-field margin) so everything is fixed-capacity. Points
-outside the crop receive zero motion features; they are out of the 3D UNet's
-range too, so final predictions are unaffected except via boundary halos.
-The t axis is the scan slot (0..W-1): a pure translation of the reference's
--9..0 quantized timestamps, which conv offsets cannot observe.
+outside the crop receive zero motion features; they are out of the 3D
+UNet's range too, so final predictions are unaffected except via boundary
+halos. Site-capacity overflows are counted and returned (`stats`), not
+silent.
 """
 
 from __future__ import annotations
@@ -30,30 +36,35 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..sparse import (
-    SparseTensor,
-    devoxelize,
-    neighbor_table,
-    strided_conv_sites,
-    unique_voxels,
+from ..sparse.slab import (
+    build_slab,
+    derive_strided_sites,
+    gather_slots,
+    parent_index,
+    site_grid,
+    strided_occ,
+    window_conv,
+    window_tables,
 )
-from ..sparse.convs import strided_conv
-from .blocks import (
-    init_basic_block,
-    init_conv_bn,
-    init_sparse_conv,
-    inverse_block_pairs,
-    strided_block_pairs,
+from .blocks import init_basic_block, init_conv_bn
+from .blocks_slab import (
+    basic_block_slab,
+    cat_slab,
+    inverse_block_slab,
+    subm_block_slab,
 )
-from .layers import init_linear
+from .layers import init_linear, mm
 
 _BN = {"momentum": 0.1, "eps": 1e-5}  # MinkowskiEngine BatchNorm defaults
 
 _K_STEM = (5, 5, 5, 1)
 _K_DOWN = (2, 2, 2, 1)
-_S_DOWN = (2, 2, 2, 1)
-_P0 = (0, 0, 0, 0)
 _K_BLOCK = (3, 3, 3, 3)
+_K3_STEM = (5, 5, 5)
+_K3_DOWN = (2, 2, 2)
+_K3_BLOCK = (3, 3, 3)
+_S2 = (2, 2, 2)
+_P0 = (0, 0, 0)
 
 
 def init_motionnet(key, cfg: Config):
@@ -86,161 +97,136 @@ def init_motionnet(key, cfg: Config):
     return params, state
 
 
-def _cat(a: SparseTensor, b: SparseTensor) -> SparseTensor:
-    """Concatenate features of two tensors on the same site set (ME.cat)."""
-    return a.replace_feats(jnp.concatenate([a.feats, b.feats], axis=-1))
-
-
-def _level_dims(dims4, factor):
+def _level_dims(dims3, factor):
     cdiv = lambda a, b: -(-a // b)
-    # x extent padded to a multiple of 16 (brick key arithmetic); padding
-    # only enlarges key space — coordinates never occupy the pad cells
-    x = cdiv(dims4[0], factor)
-    return (
-        cdiv(x, 16) * 16,
-        cdiv(dims4[1], factor),
-        cdiv(dims4[2], factor),
-        dims4[3],
-    )
+    return tuple(cdiv(d, factor) for d in dims3)
 
 
 def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train: bool):
     """points: (W, P, 4+) pose-aligned window; point_valid: (W, P).
 
-    Returns (motion_feats (W*P->P, C) for the CURRENT scan slot,
-    per-point motion feats for ALL points (W, P, C), new_state).
-
-    All submanifold convs run in brick space (sparse/bricks.py): build the
-    brick layout + neighbour table once per level, then every conv is
-    halo-row fetches + static shifts + matmuls. Strided and inverse convs
-    cross levels through the canonical sorted-voxel form.
+    Returns (motion feats for the CURRENT scan (P, C), per-point motion
+    feats for ALL points (W, P, C), new_state, stats dict with site counts
+    and overflow counters per level).
     """
-    from ..sparse.bricks import (
-        bricks_to_voxel_feats,
-        brick_neighbor_table,
-        build_bricks,
-        voxel_feats_to_bricks,
-    )
-    from .blocks_bricks import basic_block_bricks, subm_block_bricks
-
     mc = cfg.model.motionnet
     W, P = points.shape[:2]
     chunk = cfg.runtime.conv_chunk
-    brick_chunk = max(1, chunk // 16)
-    gx, gy, gz = mc.grid_size
-    dims4 = (gx, gy, gz, W)
-    caps = mc.capacities
+    dims1 = mc.grid_size
+    caps = mc.site_capacities
 
     lo = jnp.asarray(mc.crop_range[:3], points.dtype)
     xyz = points[..., :3].reshape(W * P, 3)
-    vox = jnp.floor((xyz - lo) * 10.0).astype(jnp.int32)  # 0.1 m voxels
-    t = jnp.broadcast_to(
+    coords3 = jnp.floor((xyz - lo) * 10.0).astype(jnp.int32)  # 0.1 m voxels
+    tcol = jnp.broadcast_to(
         jnp.arange(W, dtype=jnp.int32)[:, None], (W, P)
-    ).reshape(W * P, 1)
-    coords4 = jnp.concatenate([vox, t], axis=-1)
+    ).reshape(W * P)
 
-    sites1, p2v, _, _ = unique_voxels(
-        coords4, dims4, caps[0], point_valid.reshape(W * P), first_occurrence_cap=False
+    slab1, p2slot, n1, drop1 = build_slab(
+        coords3, tcol, point_valid.reshape(W * P), dims1, W, caps[0]
     )
-    x = sites1.replace_feats(
-        jnp.full((caps[0], 1), 0.5, jnp.float32) * sites1.valid[:, None]
+    x = slab1.replace_feats(
+        (jnp.full((caps[0], W), 0.5, jnp.float32) * slab1.occ).astype(jnp.float32)
     )
 
+    stats = {"sites": [n1], "dropped": [drop1]}
     ns = {}
     bn = dict(bn_args=_BN, train=train)
-    bbn = dict(bn_args=_BN, train=train, chunk=brick_chunk)
 
-    # ---------------- L1: stem (and later block8) in brick space ----------
-    b1 = build_bricks(x, max(256, caps[0] // 4))
-    tbl1_stem = brick_neighbor_table(b1, _K_STEM)
-    out_p1_b, ns["stem"] = subm_block_bricks(
-        params["stem"], state["stem"], b1, _K_STEM, tbl1_stem, **bbn
+    # ---- per-level site derivation, grids, tables --------------------
+    slabs = {1: x}
+    tables = {}
+    down_tables = {}
+    parent_idx = {}
+    dims = {1: dims1}
+    for lvl, (fin, fout, cap) in enumerate(
+        ((1, 2, caps[1]), (2, 4, caps[2]), (4, 8, caps[3]))
+    ):
+        dims[fout] = _level_dims(dims1, fout)
+        grid = site_grid(slabs[fin])
+        if fin == 1:
+            tables["stem"] = window_tables(
+                grid, dims[fin], slabs[fin].coords, slabs[fin].valid,
+                _K3_STEM, vin=caps[0],
+            )
+        tables[fin] = window_tables(
+            grid, dims[fin], slabs[fin].coords, slabs[fin].valid,
+            _K3_BLOCK, vin=slabs[fin].capacity,
+        )
+        nxt, n_s, n_d = derive_strided_sites(
+            slabs[fin], _K3_DOWN, _S2, _P0, dims[fout], cap
+        )
+        stats["sites"].append(n_s)
+        stats["dropped"].append(n_d)
+        down_tables[fout] = window_tables(
+            grid, dims[fin], nxt.coords, nxt.valid, _K3_DOWN,
+            stride3=_S2, pad3=_P0, vin=slabs[fin].capacity,
+        )
+        nxt = strided_occ(slabs[fin], down_tables[fout], nxt)
+        slabs[fout] = nxt
+    grid8 = site_grid(slabs[8])
+    tables[8] = window_tables(
+        grid8, dims[8], slabs[8].coords, slabs[8].valid, _K3_BLOCK,
+        vin=slabs[8].capacity,
     )
-    out_p1 = sites1.replace_feats(bricks_to_voxel_feats(out_p1_b))
+    # parent indices for the up path (fine -> its stride-2 parent)
+    for fin, fout in ((4, 8), (2, 4), (1, 2)):
+        grid = grid8 if fout == 8 else site_grid(slabs[fout])
+        parent_idx[fin] = parent_index(grid, dims[fout], slabs[fin])
 
-    # ---------------- encoder: paired strided downs + brick blocks --------
-    d2 = _level_dims(dims4, 2)
-    s2, pr2, ki2 = strided_conv_sites(
-        out_p1, _K_DOWN, _S_DOWN, _P0, d2, caps[1], with_pairs=True
+    # ---------------- encoder ----------------
+    out_stem, ns["stem"] = subm_block_slab(
+        params["stem"], state["stem"], x, _K_STEM, tables["stem"], chunk=chunk, **bn
     )
-    y, ns["down1"] = strided_block_pairs(
-        params["down1"], state["down1"], out_p1, s2, pr2, ki2, **bn
+    y, ns["down1"] = subm_block_slab(
+        params["down1"], state["down1"], out_stem, _K_DOWN, down_tables[2],
+        out=slabs[2], chunk=chunk, **bn,
     )
-    b2 = build_bricks(y, max(256, caps[1] // 4))
-    tbl2 = brick_neighbor_table(b2, _K_BLOCK)
-    out_b1_b, ns["block1"] = basic_block_bricks(
-        params["block1"], state["block1"], b2, _K_BLOCK, tbl2, **bbn
+    out_b1, ns["block1"] = basic_block_slab(
+        params["block1"], state["block1"], y, _K_BLOCK, tables[2], chunk=chunk, **bn
     )
-    out_b1 = s2.replace_feats(bricks_to_voxel_feats(out_b1_b))
-
-    d4 = _level_dims(dims4, 4)
-    s4, pr4, ki4 = strided_conv_sites(
-        out_b1, _K_DOWN, _S_DOWN, _P0, d4, caps[2], with_pairs=True
+    y, ns["down2"] = subm_block_slab(
+        params["down2"], state["down2"], out_b1, _K_DOWN, down_tables[4],
+        out=slabs[4], chunk=chunk, **bn,
     )
-    y, ns["down2"] = strided_block_pairs(
-        params["down2"], state["down2"], out_b1, s4, pr4, ki4, **bn
+    out_b2, ns["block2"] = basic_block_slab(
+        params["block2"], state["block2"], y, _K_BLOCK, tables[4], chunk=chunk, **bn
     )
-    b4 = build_bricks(y, max(256, caps[2] // 4))
-    tbl4 = brick_neighbor_table(b4, _K_BLOCK)
-    out_b2_b, ns["block2"] = basic_block_bricks(
-        params["block2"], state["block2"], b4, _K_BLOCK, tbl4, **bbn
+    y, ns["down3"] = subm_block_slab(
+        params["down3"], state["down3"], out_b2, _K_DOWN, down_tables[8],
+        out=slabs[8], chunk=chunk, **bn,
     )
-    out_b2 = s4.replace_feats(bricks_to_voxel_feats(out_b2_b))
-
-    d8 = _level_dims(dims4, 8)
-    s8, pr8, ki8 = strided_conv_sites(
-        out_b2, _K_DOWN, _S_DOWN, _P0, d8, caps[3], with_pairs=True
-    )
-    y, ns["down3"] = strided_block_pairs(
-        params["down3"], state["down3"], out_b2, s8, pr8, ki8, **bn
-    )
-    b8 = build_bricks(y, max(256, caps[3] // 4))
-    tbl8 = brick_neighbor_table(b8, _K_BLOCK)
-    y8_b, ns["block3"] = basic_block_bricks(
-        params["block3"], state["block3"], b8, _K_BLOCK, tbl8, **bbn
-    )
-    y8 = s8.replace_feats(bricks_to_voxel_feats(y8_b))
-
-    # ---------------- decoder: inverse (sparse) + cat + blocks (bricks) ---
-    y, ns["up5"] = inverse_block_pairs(
-        params["up5"], state["up5"], y8, out_b2.sites(), pr8, ki8, **bn
-    )
-    cat4 = voxel_feats_to_bricks(b4, y.feats)
-    cat4 = cat4.replace_feats(
-        jnp.concatenate([cat4.feats, out_b2_b.feats], axis=-1)
-    )
-    y_b, ns["block6"] = basic_block_bricks(
-        params["block6"], state["block6"], cat4, _K_BLOCK, tbl4, **bbn
-    )
-    y = s4.replace_feats(bricks_to_voxel_feats(y_b))
-
-    y, ns["up6"] = inverse_block_pairs(
-        params["up6"], state["up6"], y, out_b1.sites(), pr4, ki4, **bn
-    )
-    cat2 = voxel_feats_to_bricks(b2, y.feats)
-    cat2 = cat2.replace_feats(
-        jnp.concatenate([cat2.feats, out_b1_b.feats], axis=-1)
-    )
-    y_b, ns["block7"] = basic_block_bricks(
-        params["block7"], state["block7"], cat2, _K_BLOCK, tbl2, **bbn
-    )
-    y = s2.replace_feats(bricks_to_voxel_feats(y_b))
-
-    y, ns["up7"] = inverse_block_pairs(
-        params["up7"], state["up7"], y, out_p1.sites(), pr2, ki2, **bn
-    )
-    cat1 = voxel_feats_to_bricks(b1, y.feats)
-    cat1 = cat1.replace_feats(
-        jnp.concatenate([cat1.feats, out_p1_b.feats], axis=-1)
-    )
-    tbl1_block = brick_neighbor_table(b1, _K_BLOCK)
-    y_b, ns["block8"] = basic_block_bricks(
-        params["block8"], state["block8"], cat1, _K_BLOCK, tbl1_block, **bbn
+    y, ns["block3"] = basic_block_slab(
+        params["block3"], state["block3"], y, _K_BLOCK, tables[8], chunk=chunk, **bn
     )
 
-    from .layers import mm
-    logits_b = mm(y_b.feats, params["final"]["w"]) + params["final"]["b"]
-    logits_b = logits_b * y_b.occ[..., None]
-    logits = bricks_to_voxel_feats(y_b.replace_feats(logits_b))
-    per_point = devoxelize(logits, p2v).reshape(W, P, -1)
-    return per_point[W - 1], per_point, ns
+    # ---------------- decoder ----------------
+    y, ns["up5"] = inverse_block_slab(
+        params["up5"], state["up5"], y, out_b2, parent_idx[4], **bn
+    )
+    y, ns["block6"] = basic_block_slab(
+        params["block6"], state["block6"], cat_slab(y, out_b2), _K_BLOCK,
+        tables[4], chunk=chunk, **bn,
+    )
+    y, ns["up6"] = inverse_block_slab(
+        params["up6"], state["up6"], y, out_b1, parent_idx[2], **bn
+    )
+    y, ns["block7"] = basic_block_slab(
+        params["block7"], state["block7"], cat_slab(y, out_b1), _K_BLOCK,
+        tables[2], chunk=chunk, **bn,
+    )
+    y, ns["up7"] = inverse_block_slab(
+        params["up7"], state["up7"], y, out_stem, parent_idx[1], **bn
+    )
+    y, ns["block8"] = basic_block_slab(
+        params["block8"], state["block8"], cat_slab(y, out_stem), _K_BLOCK,
+        tables[1], chunk=chunk, **bn,
+    )
+
+    c8 = y.num_features
+    logits = mm(y.feats.reshape(-1, c8), params["final"]["w"]) + params["final"]["b"]
+    cout = logits.shape[-1]
+    out = y.replace_feats(logits.reshape(y.capacity, W * cout))
+    out = out.replace_feats(out.mask_feats())
+    per_point = gather_slots(out, p2slot, cout).reshape(W, P, cout)
+    return per_point[W - 1], per_point, ns, stats

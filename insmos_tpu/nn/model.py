@@ -56,7 +56,7 @@ class InsMOSModel:
             jnp.arange(P)[None, :] < sample["num_points"][:, None]
         ) & sample["scan_mask"][:, None]
 
-        motion_cur, _, ns_motion = motionnet_forward(
+        motion_cur, _, ns_motion, motion_stats = motionnet_forward(
             params["motion"], state["motion"], cfg, points, point_valid, train=train
         )
 
@@ -95,12 +95,20 @@ class InsMOSModel:
             # spconv_unet.py:322); gradients reach the head via the maps.
             return jax.lax.stop_gradient(boxes8), jax.lax.stop_gradient(mask)
 
-        mos_vox_logits, _bev, ns_unet = unet3d_forward(
+        mos_vox_logits, _bev, ns_unet, unet_stats = unet3d_forward(
             params["unet"], state["unet"], cfg, vox, boxes_fn, train=train
         )
         point_logits = devoxelize(mos_vox_logits, p2v)  # (P, 3)
 
+        # overflow observability: dropped site counts per level (0 in
+        # normal operation; the reference's only cap is the 100k voxelizer)
+        overflow = {
+            "motion_dropped": jnp.stack(motion_stats["dropped"]),
+            "voxelizer_dropped": jnp.sum((p2v < 0) & cur_valid),
+        }
+
         return {
+            "overflow": overflow,
             "point_logits": point_logits,
             "motion_logits": motion_cur,
             "point_valid": cur_valid,

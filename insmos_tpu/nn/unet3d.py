@@ -15,8 +15,11 @@ with a per-class one-hot instance feature computed ON DEVICE
 concat is fused by a subm conv, then the UR block (lateral residual +
 channel_reduction + inverse conv) restores the next finer site set.
 
-The mos head is a Linear(16 -> 3) on stride-1 voxels, devoxelized to points
-(spconv_unet.py:406-410).
+All convs run on the slab engine (sparse/slab.py, T=1): windowed gathers
+with per-level window tables for subm/strided convs; inverse convs replay
+the recorded site derivation pairs (spconv SparseInverseConv3d semantics,
+spconv_unet.py:181-207). The mos head is a Linear(16 -> 3) on stride-1
+voxels, devoxelized to points (spconv_unet.py:406-410).
 """
 
 from __future__ import annotations
@@ -26,20 +29,18 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..ops.points_in_boxes import box_class_features
-from ..sparse import (
-    SparseTensor,
-    inverse_conv,
-    neighbor_table,
-    strided_conv_sites,
-    to_dense_bev,
+from ..sparse import SparseTensor, strided_conv_sites, to_dense_bev
+from ..sparse.convs import inverse_conv_pairs
+from ..sparse.slab import (
+    Slab,
+    site_grid,
+    slab_from_sparse,
+    sparse_from_slab,
+    window_tables,
 )
-from .blocks import (
-    init_basic_block,
-    init_conv_bn,
-    inverse_block_pairs,
-    strided_block_pairs,
-)
-from .layers import init_linear
+from .blocks import init_basic_block, init_conv_bn
+from .blocks_slab import basic_block_slab, cat_slab, subm_block_slab
+from .layers import batch_norm, init_linear, relu
 
 _BN = {"momentum": 0.01, "eps": 1e-3}  # reference norm_fn (spconv_unet.py:118)
 _K3 = (3, 3, 3)
@@ -101,52 +102,44 @@ def _channel_reduction(feats, cout: int):
     return feats.reshape(n, cout, cin // cout).sum(axis=2)
 
 
-def _ur_block_bricks(
-    params, state, ns, names, lat_b, bot_b, table, level_sites, fine_sites,
-    pairs=None, *, train, last=False,
-):
-    """UR_block_forward (spconv_unet.py:213-221) in brick space: lateral
-    residual fusion; the trailing inverse conv crosses levels through the
-    canonical sparse form (or stays a brick subm at the last level)."""
-    from ..sparse.bricks import bricks_to_voxel_feats
-    from .blocks_bricks import basic_block_bricks, subm_block_bricks
+def _inverse_block(p, s, ns, name, coarse: Slab, fine_sites, pairs, kidx, *, train):
+    """Inverse conv (pairs replay) + BN + ReLU, slab-wrapped."""
+    y = inverse_conv_pairs(
+        sparse_from_slab(coarse), p[name]["conv"]["w"], fine_sites, pairs, kidx
+    )
+    f, bn_s = batch_norm(
+        p[name]["bn"], s[name]["bn"], y.feats, train=train, mask=y.valid, **_BN
+    )
+    ns[name] = {"bn": bn_s}
+    return slab_from_sparse(y.replace_feats(relu(f) * y.valid[:, None]))
 
+
+def _ur_block(params, state, ns, names, lat: Slab, bot: Slab, table, fine_sites,
+              pairs=None, *, train, last=False):
+    """UR_block_forward (spconv_unet.py:213-221): lateral residual fusion;
+    the trailing inverse conv restores the next finer site set (or stays a
+    subm conv at the last level)."""
     t_name, m_name, inv_name = names
     bn = dict(bn_args=_BN, train=train)
-    x_t, ns[t_name] = basic_block_bricks(
-        params[t_name], state[t_name], lat_b, _K3, table, **bn
+    x_t, ns[t_name] = basic_block_slab(
+        params[t_name], state[t_name], lat, _K3, table, **bn
     )
-    cat = x_t.replace_feats(jnp.concatenate([bot_b.feats, x_t.feats], -1))
-    x_m, ns[m_name] = subm_block_bricks(
+    cat = cat_slab(bot, x_t)
+    x_m, ns[m_name] = subm_block_slab(
         params[m_name], state[m_name], cat, _K3, table, **bn
     )
-    red = _channel_reduction_b(cat.feats, x_m.num_features)
+    red = _channel_reduction(cat.feats, x_m.num_features)
     fused = x_m.replace_feats(x_m.feats + red)
+    fused = fused.replace_feats(fused.mask_feats())
     if last:
-        out, ns[inv_name] = subm_block_bricks(
+        out, ns[inv_name] = subm_block_slab(
             params[inv_name], state[inv_name], fused, _K3, table, **bn
         )
-        return out  # Bricks at the same level
-    fused_sp = level_sites.replace_feats(bricks_to_voxel_feats(fused))
+        return out
     prs, kis = pairs
-    out, ns[inv_name] = inverse_block_pairs(
-        params[inv_name], state[inv_name], fused_sp, fine_sites, prs, kis, **bn
+    return _inverse_block(
+        params, state, ns, inv_name, fused, fine_sites, prs, kis, train=train
     )
-    return out  # SparseTensor at the finer level
-
-
-def _channel_reduction_b(feats, cout: int):
-    """channel_reduction on (B, BX, Cin) brick features."""
-    b, s, cin = feats.shape
-    return feats.reshape(b, s, cout, cin // cout).sum(axis=3)
-
-
-def _instance_feats(x: SparseTensor, boxes_grid, box_valid, num_classes):
-    """Per-voxel one-hot instance features from boxes in this level's grid
-    units (spconv_unet.py:332-347 via Array_Index)."""
-    return box_class_features(
-        x.coords.astype(jnp.float32), boxes_grid, num_classes, box_valid
-    ) * x.valid[:, None]
 
 
 def unet3d_forward(
@@ -158,21 +151,7 @@ def unet3d_forward(
     *,
     train: bool,
 ):
-    """Returns (mos voxel logits (V, 3), bev map, new_state).
-
-    All submanifold convs run in brick space (one brick layout + neighbour
-    table per level); strided/inverse convs cross levels through the
-    canonical sorted-voxel form. `boxes_fn` runs the detection branch on the
-    dense BEV of the encoded tensor.
-    """
-    from ..sparse.bricks import (
-        brick_neighbor_table,
-        bricks_to_voxel_feats,
-        build_bricks,
-        voxel_feats_to_bricks,
-    )
-    from .blocks_bricks import subm_block_bricks
-
+    """Returns (mos voxel logits (V, 3), bev map, new_state, stats)."""
     mc = cfg.model
     gx, gy, gz = cfg.data.grid_size
     caps = mc.unet_capacities
@@ -180,69 +159,88 @@ def unet3d_forward(
     bn = dict(bn_args=_BN, train=train)
 
     cdiv = lambda a, b: -(-a // b)
-    dims = {
-        s: (cdiv(cdiv(gx, s), 16) * 16, cdiv(gy, s), cdiv(gz, s))
-        for s in (1, 2, 4, 8)
-    }
+    dims = {s: (cdiv(gx, s), cdiv(gy, s), cdiv(gz, s)) for s in (1, 2, 4, 8)}
 
-    # ---------------- encoder ----------------
-    bricks = {}
+    stats = {"sites": [], "dropped": []}
+
+    # ---------------- site derivation + window tables ----------------
+    level_sites = {1: x}  # SparseTensor site sets (for pairs/inverse)
+    slabs = {1: slab_from_sparse(x)}
     tables = {}
-    bricks[1] = build_bricks(x, max(256, caps[0] // 4))
-    tables[1] = brick_neighbor_table(bricks[1], _K3)
-    y_b, ns["conv_input"] = subm_block_bricks(
-        params["conv_input"], state["conv_input"], bricks[1], _K3, tables[1], **bn
-    )
-    x_conv1_b, ns["conv1"] = subm_block_bricks(
-        params["conv1"], state["conv1"], y_b, _K3, tables[1], **bn
-    )
-
-    level_sites = {1: x}
-    enc_bricks = {1: x_conv1_b}
+    down_tables = {}
     pair_maps = {}
-    y = x.replace_feats(bricks_to_voxel_feats(x_conv1_b))
     for lvl, stride in ((2, 2), (3, 4), (4, 8)):
+        fin = stride // 2
+        grid = site_grid(slabs[fin])
+        tables[fin] = window_tables(
+            grid, dims[fin], slabs[fin].coords, slabs[fin].valid, _K3,
+            vin=slabs[fin].capacity,
+        )
         sites, prs, kis = strided_conv_sites(
-            y, _K3, _S2, _P1, dims[stride], caps[lvl - 1], with_pairs=True
+            level_sites[fin], _K3, _S2, _P1, dims[stride], caps[lvl - 1],
+            with_pairs=True,
         )
         pair_maps[stride] = (prs, kis)
-        y, ns[f"conv{lvl}_down"] = strided_block_pairs(
-            params[f"conv{lvl}_down"], state[f"conv{lvl}_down"], y, sites, prs, kis, **bn
-        )
         level_sites[stride] = sites
-        bricks[stride] = build_bricks(y, max(256, caps[lvl - 1] // 4))
-        tables[stride] = brick_neighbor_table(bricks[stride], _K3)
-        y_b, ns[f"conv{lvl}_a"] = subm_block_bricks(
-            params[f"conv{lvl}_a"], state[f"conv{lvl}_a"], bricks[stride], _K3,
-            tables[stride], **bn,
+        nxt = slab_from_sparse(sites.sites())
+        down_tables[stride] = window_tables(
+            grid, dims[fin], nxt.coords, nxt.valid, _K3,
+            stride3=_S2, pad3=_P1, vin=slabs[fin].capacity,
         )
-        y_b, ns[f"conv{lvl}_b"] = subm_block_bricks(
-            params[f"conv{lvl}_b"], state[f"conv{lvl}_b"], y_b, _K3,
-            tables[stride], **bn,
-        )
-        enc_bricks[stride] = y_b
-        y = sites.replace_feats(bricks_to_voxel_feats(y_b))
-
-    # conv_out: z-only stride-2 -> encoded tensor (stride 8 in xy, 16 in z)
+        slabs[stride] = nxt
+        stats["sites"].append(jnp.sum(sites.valid))
+    grid8 = site_grid(slabs[8])
+    tables[8] = window_tables(
+        grid8, dims[8], slabs[8].coords, slabs[8].valid, _K3,
+        vin=slabs[8].capacity,
+    )
+    # conv_out: z-only stride-2 -> encoded sites (stride 8 in xy, 16 in z)
     dims_out = (dims[8][0], dims[8][1], (dims[8][2] - _KZ[2]) // _SZ[2] + 1)
     sites_out, prs_out, kis_out = strided_conv_sites(
-        y, _KZ, _SZ, _PZ, dims_out, caps[4], with_pairs=True
+        level_sites[8], _KZ, _SZ, _PZ, dims_out, caps[4], with_pairs=True
     )
-    encoded, ns["conv_out"] = strided_block_pairs(
-        params["conv_out"], state["conv_out"], y, sites_out, prs_out, kis_out, **bn
+    out_tbl = window_tables(
+        grid8, dims[8], sites_out.coords, sites_out.valid, _KZ,
+        stride3=_SZ, pad3=_PZ, vin=slabs[8].capacity,
+    )
+    slab_out = slab_from_sparse(sites_out.sites())
+
+    # ---------------- encoder ----------------
+    y, ns["conv_input"] = subm_block_slab(
+        params["conv_input"], state["conv_input"],
+        slabs[1].replace_feats(x.masked_feats()), _K3, tables[1], **bn,
+    )
+    x_conv1, ns["conv1"] = subm_block_slab(
+        params["conv1"], state["conv1"], y, _K3, tables[1], **bn
+    )
+    enc = {1: x_conv1}
+    y = x_conv1
+    for lvl, stride in ((2, 2), (3, 4), (4, 8)):
+        y, ns[f"conv{lvl}_down"] = subm_block_slab(
+            params[f"conv{lvl}_down"], state[f"conv{lvl}_down"], y, _K3,
+            down_tables[stride], out=slabs[stride], **bn,
+        )
+        y, ns[f"conv{lvl}_a"] = subm_block_slab(
+            params[f"conv{lvl}_a"], state[f"conv{lvl}_a"], y, _K3, tables[stride], **bn
+        )
+        y, ns[f"conv{lvl}_b"] = subm_block_slab(
+            params[f"conv{lvl}_b"], state[f"conv{lvl}_b"], y, _K3, tables[stride], **bn
+        )
+        enc[stride] = y
+    encoded, ns["conv_out"] = subm_block_slab(
+        params["conv_out"], state["conv_out"], y, _KZ, out_tbl, out=slab_out, **bn
     )
 
     # ---------------- detection branch on the dense BEV ----------------
-    bev = to_dense_bev(encoded)  # (Y/8, X/8, C*Z)
+    bev = to_dense_bev(sparse_from_slab(encoded))  # (Y/8, X/8, C*Z)
     boxes_world, box_valid = boxes_fn(bev)
 
     # ---------------- decoder with instance fusion ---------------------
-    from ..sparse.convs import inverse_conv_pairs
-
     sparse_inv = inverse_conv_pairs(
-        encoded, params["inv_conv_out"]["conv"]["w"], level_sites[8].sites(),
-        prs_out, kis_out,
+        sparse_from_slab(encoded), params["inv_conv_out"]["conv"]["w"],
+        level_sites[8].sites(), prs_out, kis_out,
     )
+    y = slab_from_sparse(sparse_inv.replace_feats(sparse_inv.masked_feats()))
 
     # boxes in per-level grid units (spconv_unet.py:325-331); yaw is scale-
     # invariant because x/y voxel sizes are equal.
@@ -256,61 +254,49 @@ def unet3d_forward(
 
     nc = mc.head.num_class
 
-    def fuse(level_feats_b, base_bricks, level_sparse, stride, fuse_name):
-        """instance one-hot on this level's sites -> concat -> subm conv."""
-        inst = _instance_feats(
-            level_sparse, to_grid(boxes_world, stride), box_valid, nc
+    def fuse(level_slab: Slab, stride, fuse_name):
+        """instance one-hot on this level's sites -> concat -> subm conv
+        (spconv_unet.py:332-347 via Array_Index, on device)."""
+        inst = box_class_features(
+            level_slab.coords.astype(jnp.float32), to_grid(boxes_world, stride),
+            nc, box_valid,
+        ) * level_slab.valid[:, None]
+        cat = level_slab.replace_feats(
+            jnp.concatenate([level_slab.feats, inst], axis=-1)
         )
-        inst_b = voxel_feats_to_bricks(base_bricks, inst)
-        cat = level_feats_b.replace_feats(
-            jnp.concatenate([level_feats_b.feats, inst_b.feats], -1)
+        out, ns[fuse_name] = subm_block_slab(
+            params[fuse_name], state[fuse_name], cat, _K3, tables[stride], **bn
         )
-        out, ns[fuse_name] = subm_block_bricks(
-            params[fuse_name], state[fuse_name], cat, _K3,
-            tables[stride_key(stride)], **bn,
-        )
-        return out, inst_b
+        return out, inst
 
-    def stride_key(s):
-        return s
-
-    inv_b = voxel_feats_to_bricks(bricks[8], sparse_inv.masked_feats())
-    lvl_sparse8 = level_sites[8].replace_feats(sparse_inv.feats)
-    y_b, _ = fuse(inv_b, bricks[8], lvl_sparse8, 8, "fuse4")
-    x_up4 = _ur_block_bricks(
-        params, state, ns, ("up_t4", "up_m4", "inv4"), y_b, y_b, tables[8],
-        level_sites[8], level_sites[4].sites(), pair_maps[8], train=train,
+    y, _ = fuse(y, 8, "fuse4")
+    x_up4 = _ur_block(
+        params, state, ns, ("up_t4", "up_m4", "inv4"), y, y, tables[8],
+        level_sites[4].sites(), pair_maps[8], train=train,
     )
-
-    up4_b = voxel_feats_to_bricks(bricks[4], x_up4.masked_feats())
-    y_b, _ = fuse(up4_b, bricks[4], level_sites[4].replace_feats(x_up4.feats), 4, "fuse3")
-    x_up3 = _ur_block_bricks(
-        params, state, ns, ("up_t3", "up_m3", "inv3"), enc_bricks[4], y_b, tables[4],
-        level_sites[4], level_sites[2].sites(), pair_maps[4], train=train,
+    y, _ = fuse(x_up4, 4, "fuse3")
+    x_up3 = _ur_block(
+        params, state, ns, ("up_t3", "up_m3", "inv3"), enc[4], y, tables[4],
+        level_sites[2].sites(), pair_maps[4], train=train,
     )
-
-    up3_b = voxel_feats_to_bricks(bricks[2], x_up3.masked_feats())
-    y_b, _ = fuse(up3_b, bricks[2], level_sites[2].replace_feats(x_up3.feats), 2, "fuse2")
-    x_up2 = _ur_block_bricks(
-        params, state, ns, ("up_t2", "up_m2", "inv2"), enc_bricks[2], y_b, tables[2],
-        level_sites[2], level_sites[1].sites(), pair_maps[2], train=train,
+    y, _ = fuse(x_up3, 2, "fuse2")
+    x_up2 = _ur_block(
+        params, state, ns, ("up_t2", "up_m2", "inv2"), enc[2], y, tables[2],
+        level_sites[1].sites(), pair_maps[2], train=train,
     )
-
-    up2_b = voxel_feats_to_bricks(bricks[1], x_up2.masked_feats())
-    y_b, inst1_b = fuse(up2_b, bricks[1], level_sites[1].replace_feats(x_up2.feats), 1, "fuse1")
-    x_up1_b = _ur_block_bricks(
-        params, state, ns, ("up_t1", "up_m1", "up_out"), enc_bricks[1], y_b, tables[1],
-        level_sites[1], None, train=train, last=True,
+    y, inst1 = fuse(x_up2, 1, "fuse1")
+    x_up1 = _ur_block(
+        params, state, ns, ("up_t1", "up_m1", "up_out"), enc[1], y, tables[1],
+        None, train=train, last=True,
     )
 
     # final fusion reuses the stride-1 instance features (spconv_unet.py:401)
-    cat = x_up1_b.replace_feats(jnp.concatenate([x_up1_b.feats, inst1_b.feats], -1))
-    y_b, ns["fuse1_final"] = subm_block_bricks(
+    cat = x_up1.replace_feats(jnp.concatenate([x_up1.feats, inst1], axis=-1))
+    y, ns["fuse1_final"] = subm_block_slab(
         params["fuse1_final"], state["fuse1_final"], cat, _K3, tables[1], **bn
     )
 
     from .layers import mm
-    logits_b = mm(y_b.feats, params["mos_head"]["w"]) + params["mos_head"]["b"]
-    logits_b = logits_b * y_b.occ[..., None]
-    mos_logits = bricks_to_voxel_feats(y_b.replace_feats(logits_b))
-    return mos_logits, bev, ns
+    logits = mm(y.feats, params["mos_head"]["w"]) + params["mos_head"]["b"]
+    mos_logits = logits * y.valid[:, None]
+    return mos_logits, bev, ns, stats

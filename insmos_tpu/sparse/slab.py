@@ -219,6 +219,14 @@ def slab_from_sparse(x) -> Slab:
     )
 
 
+def sparse_from_slab(x: Slab):
+    """T=1 Slab -> SparseTensor (for dense-BEV projection etc.)."""
+    from .tensor import SparseTensor
+
+    assert x.T == 1
+    return SparseTensor(x.coords, x.keys, x.feats, x.valid, tuple(x.dims))
+
+
 def derive_strided_sites(
     x: Slab, kernel3, stride3, pad3, out_dims, capacity: int
 ):

@@ -26,7 +26,7 @@ def tiny_config(window: int = 4) -> Config:
             unet_capacities=(4096, 2048, 1024, 512, 512),
             motionnet=MotionNetConfig(
                 crop_range=(-8.0, -8.0, -4.0, 8.0, 8.0, 4.8),
-                capacities=(8192, 4096, 2048, 1024),
+                site_capacities=(8192, 4096, 2048, 1024),
             ),
         ),
         runtime=dataclasses.replace(base.runtime, max_points_per_scan=2048),

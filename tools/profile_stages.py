@@ -66,7 +66,7 @@ def main():
     # ---- motion net ----
     @jax.jit
     def motion(params_m, state_m, pts, pv):
-        cur, _, _ = motionnet_forward(params_m, state_m, cfg, pts, pv, train=False)
+        cur, _, _, _ = motionnet_forward(params_m, state_m, cfg, pts, pv, train=False)
         return cur
 
     t_motion = timeit(
@@ -101,7 +101,7 @@ def main():
             boxes8, scores, labels, mask = decode_and_nms(cfg, cls_map, box_map)
             return boxes8, mask
 
-        logits, bev, _ = unet3d_forward(p["unet"], s["unet"], cfg, x, boxes_fn, train=False)
+        logits, bev, _, _ = unet3d_forward(p["unet"], s["unet"], cfg, x, boxes_fn, train=False)
         return logits
 
     timeit(unet, (params, state, voxt), args.iters, "unet3d + detection + fusion")
