@@ -362,33 +362,39 @@ def window_tables(
     ox = out_coords[:, 0] * stride3[0] - pad3[0]
     oy0 = out_coords[:, 1] * stride3[1] - pad3[1]
     oz0 = out_coords[:, 2] * stride3[2] - pad3[2]
-    # clamp the probe's x-base into the row so the widened gather stays
-    # row-aligned; `off` realigns kernel positions to window positions
-    bx = jnp.clip(ox, 0, max(X - kx, 0))
-    off = ox - bx  # in [-(kx-1), kx-1]; j maps to window cell j + off
+
+    # Grid probes as two 128-cell ROW takes + in-register one-hot select.
+    # A single-element or multi-dim sliced gather is pathologically slow
+    # on this runtime (tools probes); 512 B row gathers run at ~5 ns/row.
+    # The one-hot select is an f32 einsum — exact for indices < 2^24.
+    NR = (n_cells + 2 + 127) // 128
+    gpad = jnp.concatenate(
+        [grid, jnp.full((NR * 128 + 128 - grid.shape[0],), -1, jnp.int32)]
+    )
+    g2a = gpad[: NR * 128].reshape(NR, 128)
+    g2b = gpad[128 : NR * 128 + 128].reshape(NR, 128)
+    iota256 = jnp.arange(256, dtype=jnp.int32)
 
     wstarts = []
     slotmaps = []
     jx = jnp.arange(kx, dtype=jnp.int32)
     x_ok = (ox[:, None] + jx[None] >= 0) & (ox[:, None] + jx[None] < X)
-    wpos = jnp.clip(jx[None] + off[:, None], 0, kx - 1)  # (V, kx)
     for (ky_i, kz_i) in groups:
         iy = oy0 + ky_i
         iz = oz0 + kz_i
         row_ok = out_valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
-        base = (iz * Y + iy) * X + bx
-        base = jnp.where(row_ok, base, n_cells)  # sentinel tail (= -1 cells)
-        got = jax.lax.gather(
-            grid,
-            jnp.clip(base[:, None], 0, n_cells + 2 - kx),
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-            ),
-            slice_sizes=(kx,),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )  # (V, kx) grid values at cells bx..bx+kx-1 of the row
-        # realign: kernel x-pos j lives at window cell j + off
-        idx = jnp.take_along_axis(got, wpos, axis=1)
+        base = (iz * Y + iy) * X + ox  # first cell of the x-window
+        row = jnp.clip(jnp.floor_divide(base, 128), 0, NR - 1)
+        pos = base - row * 128  # window cell j lives at pair col pos + j
+        pair = jnp.concatenate(
+            [jnp.take(g2a, row, axis=0), jnp.take(g2b, row, axis=0)], axis=-1
+        ).astype(jnp.float32)  # (V, 256)
+        onehot = (
+            iota256[None, None] == (pos[:, None] + jx[None])[..., None]
+        ).astype(jnp.float32)  # (V, kx, 256)
+        idx = jnp.einsum(
+            "vjw,vw->vj", onehot, pair, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
         idx = jnp.where(x_ok & row_ok[:, None], idx, -1)
         present = idx >= 0
         rank = jnp.cumsum(present.astype(jnp.int32), axis=1) - 1  # (V, kx)
@@ -407,19 +413,24 @@ def window_tables(
 
 
 # ------------------------------------------------------------ convolution
-def _gather_windows(feats_pad, wstart, kx):
-    """(Vin+kx, TC), (V,) -> (V, kx, TC): one widened fetch per site."""
-    tc = feats_pad.shape[-1]
-    vin_pad = feats_pad.shape[0]
-    return jax.lax.gather(
-        feats_pad,
-        jnp.clip(wstart[:, None], 0, vin_pad - kx),
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
-        ),
-        slice_sizes=(kx, tc),
-        mode=jax.lax.GatherScatterMode.CLIP,
+def _shift_concat(feats_pad, kx, vin):
+    """(Vin+kx, TC) -> (Vin+1, kx*TC): row p holds rows p..p+kx-1.
+
+    Pure slice-concat (no gathers); one subsequent PLAIN row take per
+    (site, group) then fetches a whole kx-window — XLA's fast gather path
+    (~5 ns/row at >=512 B), unlike multi-element sliced gathers which are
+    pathologically slow on this runtime.
+    """
+    return jnp.concatenate(
+        [feats_pad[j : j + vin + 1] for j in range(kx)], axis=-1
     )
+
+
+def _gather_windows(f3, wstart, kx):
+    """(Vin+1, kx*TC), (V,) -> (V, kx, TC): one plain row fetch per site."""
+    tc = f3.shape[-1] // kx
+    win = jnp.take(f3, wstart, axis=0)
+    return win.reshape(win.shape[0], kx, tc)
 
 
 def window_conv(
@@ -440,52 +451,47 @@ def window_conv(
     T = x.T
     V = out.capacity
 
-    # weight (K=..t,z,y,x-fastest..) -> (G, kt*kx*cin, cout) with the
-    # group's inner layout (kt, kx, cin) matching the data construction
+    # weight (K=..t,z,y,x-fastest..) -> (G, kt, kx*cin, cout) with the
+    # group's inner layout (kx, cin) matching the aligned data
     w = weight.reshape(kt, G, kx, cin, cout)  # t slowest, (z,y) = G, x fastest
-    w = jnp.moveaxis(w, 1, 0).reshape(G, kt * kx * cin, cout)
+    w = jnp.moveaxis(w, 1, 0).reshape(G, kt, kx * cin, cout)
 
     feats_pad = jnp.concatenate(
         [x.mask_feats().astype(weight.dtype),
          jnp.zeros((kx, T * cin), weight.dtype)]
     )
+    f3 = _shift_concat(feats_pad, kx, x.capacity)
 
     def run(wstart_g, slotmap_g, acc, w_g):
         rows = wstart_g.shape[0]
-        win = _gather_windows(feats_pad, wstart_g, kx)  # (rows, kx, T*cin)
+        win = _gather_windows(f3, wstart_g, kx)  # (rows, kx_w, T*cin)
         # align window slots to kernel x-positions: (rows, kx_dx, kx_w)
         onehot = (
             slotmap_g.T[:, :, None] == jnp.arange(kx, dtype=jnp.int8)[None, None]
         ).astype(weight.dtype)
+        win4 = win.reshape(rows, kx, T, cin)
         aligned = jnp.einsum(
-            "vdw,vwc->vdc", onehot, win,
+            "vdw,vwtc->vtdc", onehot, win4,
             preferred_element_type=weight.dtype,
             precision="highest",
-        )  # (rows, kx, T*cin)
-        a4 = aligned.reshape(rows, kx, T, cin)
-        if kt > 1:
-            lo = (kt - 1) // 2
-            shifts = []
-            for it in range(kt):
-                ot = it - lo
-                if ot == 0:
-                    shifts.append(a4)
-                elif ot > 0:
-                    z = jnp.zeros((rows, kx, ot, cin), a4.dtype)
-                    shifts.append(jnp.concatenate([a4[:, :, ot:], z], axis=2))
-                else:
-                    z = jnp.zeros((rows, kx, -ot, cin), a4.dtype)
-                    shifts.append(jnp.concatenate([z, a4[:, :, :ot]], axis=2))
-            # (rows, T, kt, kx, cin)
-            stacked = jnp.stack(shifts, axis=1).transpose(0, 3, 1, 2, 4)
-        else:
-            stacked = a4.transpose(0, 2, 1, 3)[:, :, None]  # (rows, T, 1, kx, cin)
-        flat = stacked.reshape(rows, T, kt * kx * cin)
-        contrib = jnp.einsum(
-            "vtk,kc->vtc", flat, w_g,
-            preferred_element_type=jnp.float32,
-            precision="highest",
-        )
+        ).reshape(rows, T, kx * cin)
+        lo = (kt - 1) // 2
+        contrib = jnp.zeros((rows, T, cout), jnp.float32)
+        for it in range(kt):
+            ot = it - lo
+            if ot == 0:
+                src = aligned
+            elif ot > 0:  # out t reads in t+ot
+                z = jnp.zeros((rows, ot, kx * cin), aligned.dtype)
+                src = jnp.concatenate([aligned[:, ot:], z], axis=1)
+            else:
+                z = jnp.zeros((rows, -ot, kx * cin), aligned.dtype)
+                src = jnp.concatenate([z, aligned[:, :ot]], axis=1)
+            contrib = contrib + jnp.einsum(
+                "vtk,kc->vtc", src, w_g[it],
+                preferred_element_type=jnp.float32,
+                precision="highest",
+            )
         return acc + contrib.reshape(rows, T * cout)
 
     def scan_groups(wstart_all, slot_all):
@@ -524,10 +530,11 @@ def strided_occ(
         [jnp.where(x.valid[:, None], x.occ, False).astype(jnp.float32),
          jnp.zeros((kx, x.T), jnp.float32)]
     )
+    o3 = _shift_concat(occ_pad, kx, x.capacity)
     G = tables.wstart.shape[0]
     acc = jnp.zeros((out.capacity, x.T), jnp.float32)
     for g in range(G):
-        win = _gather_windows(occ_pad, tables.wstart[g], kx)  # (V, kx, T)
+        win = _gather_windows(o3, tables.wstart[g], kx)  # (V, kx, T)
         # window slot w holds the w-th present neighbour: mask w < count
         count = (tables.slotmap[g] >= 0).sum(axis=0)  # (V,)
         m = (jnp.arange(kx)[None] < count[:, None]).astype(jnp.float32)
