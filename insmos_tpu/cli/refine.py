@@ -53,6 +53,108 @@ def car_instance_ids(scan: np.ndarray, boxes: np.ndarray, labels: np.ndarray) ->
     return ids.max(axis=1).astype(np.int32)
 
 
+def frame_instance_stats(boxes, labels, ids, mos, conf):
+    """Vectorized per-instance stats (reference refine.py:210-240).
+
+    Returns (car_box_idx (C,) 0-based box indices of kept cars in box
+    order, point lists implied by ids, ratio (C,), conf_frac (C,),
+    attrs (C, 7)).
+    """
+    M = len(boxes)
+    if M == 0:
+        z = np.zeros((0,))
+        return np.zeros((0,), np.int64), z, z, np.zeros((0, 7))
+    cnt = np.bincount(ids, minlength=M + 1)[1:]  # points per box (1-indexed ids)
+    mov = np.bincount(ids, weights=(mos == 2).astype(np.float64), minlength=M + 1)[1:]
+    cf = np.bincount(
+        ids, weights=(conf[:, 1] >= CONFIDENCE_EPS).astype(np.float64),
+        minlength=M + 1,
+    )[1:]
+    keep = (labels == 1) & (cnt > 0)
+    car_box_idx = np.flatnonzero(keep)
+    ratio = mov[car_box_idx] / cnt[car_box_idx]
+    conf_frac = cf[car_box_idx] / cnt[car_box_idx]
+    attrs = np.concatenate(
+        [boxes[car_box_idx, 0:6], (ratio > MOVING_RATIO)[:, None].astype(np.float64)],
+        axis=1,
+    )
+    return car_box_idx, ratio, conf_frac, attrs
+
+
+def track_instances(attrs, attr_window, poses, frame_idx, moving_car_num):
+    """Vectorized 5-frame pose-aligned instance track (refine.py:262-296).
+
+    Mutates attrs[:, -1] (moving flag) in place. attr_window holds the 5
+    previous frames' attrs ((P_i, 7) arrays), oldest first.
+    """
+    C = len(attrs)
+    if C == 0:
+        return
+    found = np.zeros(C, np.int64)
+    moving = np.zeros(C, np.int64)
+    for i in range(INSTANCE_WINDOW):
+        tf = np.linalg.inv(poses[frame_idx - i - 1]) @ poses[frame_idx]
+        ctr = attrs[:, 0:3] @ tf[:3, :3].T + tf[:3, 3]  # (C, 3)
+        prev = attr_window[INSTANCE_WINDOW - 1 - i]  # (P, 7)
+        if len(prev) == 0:
+            continue
+        d_ctr = np.abs(ctr[:, None, :] - prev[None, :, 0:3])  # (C, P, 3)
+        d_dim = np.abs(attrs[:, None, 3:6] - prev[None, :, 3:6])
+        match = (
+            (d_ctr[..., 0] < 1) & (d_ctr[..., 1] < 1) & (d_ctr[..., 2] < 0.5)
+            & (d_dim < 0.3).all(-1)
+        )  # (C, P)
+        hit = match.any(axis=1)
+        first = np.argmax(match, axis=1)  # first match (the loop's `break`)
+        found += hit
+        moving += hit & (prev[first, -1] == 1)
+    full = found == INSTANCE_WINDOW
+    flag = (full & (moving > 3)) | (
+        ~full & ((moving > 1) | ((moving > 0) & (moving_car_num >= 3)))
+    )
+    attrs[flag, -1] = 1
+
+
+def refine_frame(mos, ids, boxes, labels, conf, frame_idx, attr_window, poses):
+    """One frame of the voting pass, fully vectorized. Mutates mos;
+    returns this frame's attrs (appended to the caller's window)."""
+    car_box_idx, ratio, conf_frac, attrs = frame_instance_stats(
+        boxes, labels, ids, mos, conf
+    )
+    moving_car_num = int((ratio > COUNT_RATIO).sum())
+    candidates = ratio > CANDIDATE_RATIO
+    conf_candidates = conf_frac > CONFIDENCE_FRAC
+
+    def set_points(car_mask, value):
+        if not car_mask.any():
+            return
+        sel = np.isin(ids, car_box_idx[car_mask] + 1)
+        mos[sel] = value
+
+    # ---- scene-level rules (refine.py:242-259) ----
+    if frame_idx != 0:
+        if moving_car_num >= 3:
+            if frame_idx < INSTANCE_WINDOW:
+                set_points(candidates, 2)
+            attrs[candidates, -1] = 1
+        if moving_car_num >= 5:
+            if frame_idx < INSTANCE_WINDOW:
+                set_points(conf_candidates, 2)
+            attrs[conf_candidates, -1] = 1
+    elif moving_car_num >= 5:
+        set_points(candidates, 2)
+        set_points(conf_candidates, 2)
+
+    # ---- 5-frame instance track + top-down rewrite (refine.py:262-296) ----
+    if frame_idx >= INSTANCE_WINDOW:
+        track_instances(attrs, attr_window, poses, frame_idx, moving_car_num)
+        flagged = attrs[:, -1] == 1
+        set_points(flagged, 2)
+        if len(attrs) > 6:
+            set_points(~flagged, 1)
+    return attrs
+
+
 def refine_sequence(seq_dir: str, pred_dir: str, out_dir: str, ss: str) -> None:
     sub = os.path.join("sequences", ss, "predictions")
     scan_paths = load_files(os.path.join(seq_dir, "velodyne"))
@@ -65,8 +167,8 @@ def refine_sequence(seq_dir: str, pred_dir: str, out_dir: str, ss: str) -> None:
     )
     os.makedirs(out_dir, exist_ok=True)
 
-    # attrs per tracked frame: list of [cx, cy, cz, dx, dy, dz, flag]
-    attr_window: list[list[np.ndarray]] = []
+    # attrs per tracked frame: (C, 7) arrays [cx, cy, cz, dx, dy, dz, flag]
+    attr_window: list[np.ndarray] = []
 
     for frame_idx in range(len(scan_paths)):
         scan = read_point_cloud(scan_paths[frame_idx])
@@ -79,87 +181,11 @@ def refine_sequence(seq_dir: str, pred_dir: str, out_dir: str, ss: str) -> None:
             conf = np.zeros((len(mos), 2))
 
         ids = car_instance_ids(scan, boxes, labels)
-
-        # ---- bottom-up per-instance stats (refine.py:210-240) ----
-        car_points: list[np.ndarray] = []  # point indices per kept car
-        attrs: list[np.ndarray] = []  # [center(3), dims(3), flag]
-        candidates: list[int] = []
-        conf_candidates: list[int] = []
-        moving_car_num = 0
-        for inst in range(len(boxes)):
-            if labels[inst] != 1:
-                continue
-            idxs = np.flatnonzero(ids == inst + 1)
-            if len(idxs) == 0:
-                continue
-            ratio = float((mos[idxs] == 2).sum()) / len(idxs)
-            conf_frac = float((conf[idxs, 1] >= CONFIDENCE_EPS).sum()) / len(idxs)
-            car_idx = len(car_points)
-            car_points.append(idxs)
-            attrs.append(
-                np.concatenate([boxes[inst, 0:6], [1.0 if ratio > MOVING_RATIO else 0.0]])
-            )
-            if ratio > COUNT_RATIO:
-                moving_car_num += 1
-            if ratio > CANDIDATE_RATIO:
-                candidates.append(car_idx)
-            if conf_frac > CONFIDENCE_FRAC:
-                conf_candidates.append(car_idx)
-
-        # ---- scene-level rules (refine.py:242-259) ----
-        if frame_idx != 0:
-            if moving_car_num >= 3:
-                for c in candidates:
-                    if frame_idx < INSTANCE_WINDOW:
-                        mos[car_points[c]] = 2
-                    attrs[c][-1] = 1
-            if moving_car_num >= 5:
-                for c in conf_candidates:
-                    if frame_idx < INSTANCE_WINDOW:
-                        mos[car_points[c]] = 2
-                    attrs[c][-1] = 1
-        elif moving_car_num >= 5:
-            for c in candidates:
-                mos[car_points[c]] = 2
-            for c in conf_candidates:
-                mos[car_points[c]] = 2
-
-        # ---- 5-frame instance track (refine.py:262-296) ----
+        attrs = refine_frame(
+            mos, ids, boxes, labels, conf, frame_idx, attr_window, poses
+        )
         attr_window.append(attrs)
-        if frame_idx >= INSTANCE_WINDOW:
-            assert len(attr_window) == INSTANCE_WINDOW + 1
-            current = attr_window[-1]
-            for attr in current:
-                found = moving = 0
-                for i in range(INSTANCE_WINDOW):
-                    past_pose = poses[frame_idx - i - 1]
-                    tf = np.linalg.inv(past_pose) @ poses[frame_idx]
-                    ctr = attr[0:3] @ tf[:3, :3].T + tf[:3, 3]
-                    for prev in attr_window[INSTANCE_WINDOW - 1 - i]:
-                        if (
-                            abs(ctr[0] - prev[0]) < 1
-                            and abs(ctr[1] - prev[1]) < 1
-                            and abs(ctr[2] - prev[2]) < 0.5
-                            and abs(attr[3] - prev[3]) < 0.3
-                            and abs(attr[4] - prev[4]) < 0.3
-                            and abs(attr[5] - prev[5]) < 0.3
-                        ):
-                            found += 1
-                            if prev[-1] == 1:
-                                moving += 1
-                            break
-                if found == INSTANCE_WINDOW:
-                    if moving > 3:
-                        attr[-1] = 1
-                elif moving > 1 or (moving > 0 and moving_car_num >= 3):
-                    attr[-1] = 1
-
-            # top-down rewrite (refine.py:288-294)
-            for j, attr in enumerate(current):
-                if attr[-1] == 1:
-                    mos[car_points[j]] = 2
-                elif len(current) > 6:
-                    mos[car_points[j]] = 1
+        if len(attr_window) > INSTANCE_WINDOW:
             attr_window.pop(0)
 
         name = os.path.basename(mos_paths[frame_idx])[:6]
