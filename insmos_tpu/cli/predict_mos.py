@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.kitti import lidar_poses_from_files, load_files, read_point_cloud
+from ..data.loader import prefetch_map
 from ..nn.model import InsMOSModel
 from ..pipeline import InferencePipeline
 from ..utils.checkpoint import load_checkpoint
@@ -36,6 +37,7 @@ def parse_args(argv=None):
     p.add_argument("--ckpt", type=str, default=None, help="checkpoint directory")
     p.add_argument("--split", type=str, default="valid", help="valid or test")
     p.add_argument("--sequences", type=int, nargs="*", default=None)
+    p.add_argument("--ext", type=str, default=".bin", help="point cloud file extension")
     p.add_argument("--out", type=str, default="preb_out")
     p.add_argument("--seed", type=int, default=0, help="init seed when no ckpt")
     return p.parse_args(argv)
@@ -60,7 +62,11 @@ def run(args) -> dict:
     stats = {"scans": 0, "seconds": 0.0}
     for seq in sequences:
         seq_dir = os.path.join(args.data_path, f"{int(seq):02d}")
-        files = load_files(os.path.join(seq_dir, "velodyne"))
+        files = [
+            f
+            for f in load_files(os.path.join(seq_dir, "velodyne"))
+            if f.endswith(args.ext)
+        ]
         poses = None
         if cfg.data.transform:
             poses = lidar_poses_from_files(
@@ -69,7 +75,9 @@ def run(args) -> dict:
             )
         dirs = artifact_dirs(args.out, cfg.experiment_id, seq)
         t0 = time.perf_counter()
-        scan_iter = (read_point_cloud(f) for f in files)
+        scan_iter = prefetch_map(
+            read_point_cloud, files, num_workers=cfg.data.num_workers
+        )
         for idx, out in enumerate(pipe.stream_sequence(scan_iter, poses)):
             write_scan_artifacts(
                 dirs, idx, out["point_logits"], out["boxes"], out["scores"], out["labels"]

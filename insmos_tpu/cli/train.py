@@ -19,9 +19,9 @@ import numpy as np
 
 from ..config import Config
 from ..data.kitti import KittiWindowDataset
-from ..data.sample import stack_samples
+from ..data.loader import iter_batches
 from ..nn.model import InsMOSModel
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import data_mesh_for_batch, replicate, shard_batch
 from ..train import TrainState, make_eval_step, make_train_step
 from ..train.metrics import iou_from_confusion
 from ..train.optim import make_optimizer
@@ -51,12 +51,12 @@ class ScalarLogger:
         self._fh.flush()
 
 
-def batches(ds, batch_size, shuffle, seed=0):
-    order = np.arange(len(ds))
-    if shuffle:
-        np.random.default_rng(seed).shuffle(order)
-    for i in range(0, len(order) - batch_size + 1, batch_size):
-        yield stack_samples([ds[int(j)] for j in order[i : i + batch_size]])
+def batches(ds, batch_size, shuffle, seed=0, num_workers=4):
+    """Prefetching batch iterator (reference: 4 DataLoader workers +
+    pin_memory, models/models.py:216); see data/loader.py."""
+    yield from iter_batches(
+        ds, batch_size, shuffle, seed=seed, num_workers=num_workers
+    )
 
 
 def parse_args(argv=None):
@@ -103,7 +103,7 @@ def run(args):
         opt_state = tx.init(params)
         step0 = 0
 
-    mesh = make_mesh()
+    mesh = data_mesh_for_batch(bsz)
     ts = TrainState(
         replicate(mesh, params), replicate(mesh, state),
         replicate(mesh, opt_state), jnp.asarray(step0, jnp.int32),
@@ -118,7 +118,10 @@ def run(args):
         cm = np.zeros((3, 3), np.int64)
         t0 = time.perf_counter()
         for i, batch in enumerate(
-            batches(train_ds, bsz, cfg.data.shuffle, seed=args.seed + epoch)
+            batches(
+                train_ds, bsz, cfg.data.shuffle,
+                seed=args.seed + epoch, num_workers=cfg.data.num_workers,
+            )
         ):
             ts, metrics = train_step(ts, shard_batch(mesh, batch))
             cm += np.asarray(metrics["confusion"])
@@ -137,7 +140,9 @@ def run(args):
         # ---- validation ----
         vcm = np.zeros((3, 3), np.int64)
         rec = {}
-        for batch in batches(val_ds, bsz, shuffle=False):
+        for batch in batches(
+            val_ds, bsz, shuffle=False, num_workers=cfg.data.num_workers
+        ):
             m = eval_step(ts.params, ts.state, shard_batch(mesh, batch))
             vcm += np.asarray(m["confusion"])
             for k, v in m.items():
@@ -145,9 +150,15 @@ def run(args):
                     rec[k] = rec.get(k, 0) + int(v)
         val_iou = float(np.asarray(iou_from_confusion(jnp.asarray(vcm)))[2])
         gt_num = max(rec.get("gt", 0), 1)
-        recall_scalars = {
-            f"recall_{k}": v / gt_num for k, v in rec.items() if k.startswith("rcnn")
-        }
+        # scalar names match the reference (models/models.py:174-175):
+        # recall_rcnn_<int(t*10)>; recall_roi_* stays 0 (no two-stage rois
+        # in InsMOS — the reference accumulates the absent key as 0 too)
+        recall_scalars = {}
+        for k, v in rec.items():
+            if k.startswith("rcnn_"):
+                name = int(round(float(k[5:]) * 10))
+                recall_scalars[f"recall_rcnn_{name}"] = v / gt_num
+                recall_scalars[f"recall_roi_{name}"] = 0.0
         logger.log(int(ts.step), val_mos_iou_step=val_iou, **recall_scalars)
         print(
             f"epoch {epoch}: train_iou={train_iou:.4f} val_iou={val_iou:.4f} "

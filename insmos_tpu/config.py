@@ -117,6 +117,9 @@ class PostProcessConfig:
     nms_post_maxsize: int = 500
     recall_thresh_list: tuple[float, ...] = (0.3, 0.5, 0.7)
     output_raw_score: bool = False
+    # per-class NMS (reference NMS_CONFIG.MULTI_CLASSES_NMS, dead-False in
+    # the default config.yaml:151 but dispatched in post_process.py:159)
+    multi_classes_nms: bool = False
 
 
 @dataclass(frozen=True)
@@ -260,6 +263,7 @@ class Config:
                     nms_pre_maxsize=nms.get("NMS_PRE_MAXSIZE", 4096),
                     nms_post_maxsize=nms.get("NMS_POST_MAXSIZE", 500),
                     recall_thresh_list=tuple(pp.get("RECALL_THRESH_LIST", (0.3, 0.5, 0.7))),
+                    multi_classes_nms=bool(nms.get("MULTI_CLASSES_NMS", False)),
                 ),
             ),
             train=TrainConfig(

@@ -141,7 +141,14 @@ class KittiWindowDataset:
         with_labels: bool | None = None,
         window: int | None = None,
         sequences: list[int] | None = None,
+        cache=None,
     ):
+        from .loader import ScanCache
+
+        # consecutive windows share 9/10 scans; the cache turns the repeat
+        # reads into memory copies (reference parallelism: 4 DataLoader
+        # workers, models/models.py:216)
+        self.cache = cache if cache is not None else ScanCache()
         self.cfg = cfg
         self.split = split
         self.root_dir = root_dir or os.environ.get("DATA", "")
@@ -196,7 +203,10 @@ class KittiWindowDataset:
         if not self.with_labels and not self.augment:
             return self._getitem_native(seq, scan_idx, past_indices, files)
 
-        scans = [read_point_cloud(f) for f in files]
+        scans = [
+            self.cache.get((f, "pc"), lambda f=f: read_point_cloud(f))
+            for f in files
+        ]
         if self.cfg.data.transform:
             to_pose = self.poses[seq][past_indices[-1]]
             for i, pts in enumerate(scans):
@@ -217,8 +227,11 @@ class KittiWindowDataset:
             gt_boxes[:, 7] = bb[:, 0]
 
             labels = [
-                read_labels(
-                    os.path.join(self._seq_dir(seq), "labels", f"{i:06d}.label")
+                self.cache.get(
+                    (os.path.join(self._seq_dir(seq), "labels", f"{i:06d}.label"), "lab"),
+                    lambda i=i: read_labels(
+                        os.path.join(self._seq_dir(seq), "labels", f"{i:06d}.label")
+                    ),
                 )
                 for i in past_indices
             ]

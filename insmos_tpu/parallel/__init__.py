@@ -1,1 +1,1 @@
-from .mesh import make_mesh, shard_batch, replicate  # noqa: F401
+from .mesh import data_mesh_for_batch, make_mesh, shard_batch, replicate  # noqa: F401

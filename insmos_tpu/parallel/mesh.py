@@ -27,6 +27,16 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def data_mesh_for_batch(batch_size: int, axis: str = "data") -> Mesh:
+    """Largest data mesh that evenly divides the batch (DDP semantics:
+    per-device microbatch = batch / world; the reference requires the same,
+    Lightning splits batch across ranks)."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n, axis)
+
+
 def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
     """Place a host batch dict with leading batch dim onto the mesh,
     sharded along the data axis."""

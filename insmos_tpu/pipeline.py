@@ -1,22 +1,31 @@
-"""Streaming inference pipeline.
+"""Streaming inference pipeline with a device-resident scan window.
 
-One jitted forward serves every window size: the sample layout always has
+One jitted step serves every window size: the sample layout always has
 n_past_steps slots and a shorter (warm-up) window fills the last n slots
 (data/sample.py), so the reference's per-window-size dataset + model
 rebuild loop (scripts/predict_mos.py:305-383) collapses into a single
-compiled graph processing a sliding deque of scans.
+compiled graph processing a sliding window.
+
+The window lives ON DEVICE as a ring state (points, counts, mask): each
+step uploads only the NEW scan (~2 MB) and a single 4x4 pose delta; the
+stored window — already aligned to the previous current frame — is rolled
+and re-expressed in the new current frame by one on-device transform
+(inv(P_t) @ P_{t-1}; composing deltas reproduces the reference's
+inv(P_t) @ P_j alignment, dataloader/datasets.py:205-210, exactly up to
+f32 rounding). The reference instead re-uploads and re-aligns all 10 raw
+scans per step (scripts/predict_mos.py:132-139) — a 10x host-transfer and
+host-compute overhead the TPU build deletes.
 """
 
 from __future__ import annotations
 
-from collections import deque
 from typing import Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .config import Config
-from .data.sample import make_window_sample
 from .nn.model import InsMOSModel
 
 
@@ -24,15 +33,48 @@ class InferencePipeline:
     def __init__(self, cfg: Config, params, state):
         self.cfg = cfg
         self.model = InsMOSModel(cfg)
-        self.params = params
-        self.state = state
-        self._fwd = jax.jit(
-            lambda p, s, x: self._outputs(self.model.forward(p, s, x, train=False))
+        self.params = jax.device_put(params)
+        self.state = jax.device_put(state)
+        self._buf = None
+        self._step_fn = jax.jit(self._step)
+
+    # ------------------------------------------------------------- state
+    def reset(self):
+        cfg = self.cfg
+        W = cfg.model.n_past_steps
+        P = cfg.runtime.max_points_per_scan
+        self._buf = jax.device_put(
+            {
+                "points": jnp.zeros((W, P, 4), jnp.float32),
+                "num_points": jnp.zeros((W,), jnp.int32),
+                "scan_mask": jnp.zeros((W,), bool),
+            }
         )
 
-    @staticmethod
-    def _outputs(out):
-        return {
+    # -------------------------------------------------------------- step
+    def _step(self, params, state, buf, new_scan, n_new, tf):
+        """Roll the device window, re-align to the new current frame,
+        insert the new scan, run the model. Returns (new_buf, outputs)."""
+        cfg = self.cfg
+        W = buf["points"].shape[0]
+        pts = jnp.roll(buf["points"], -1, axis=0)
+        xyz = pts[..., :3] @ tf[:3, :3].T + tf[:3, 3]
+        pts = jnp.concatenate([xyz, pts[..., 3:]], axis=-1)
+        pts = pts.at[W - 1].set(new_scan)
+        num = jnp.roll(buf["num_points"], -1).at[W - 1].set(n_new)
+        mask = jnp.roll(buf["scan_mask"], -1).at[W - 1].set(True)
+        new_buf = {"points": pts, "num_points": num, "scan_mask": mask}
+
+        sample = {
+            "points": pts,
+            "num_points": num,
+            "scan_mask": mask,
+            "labels": jnp.zeros(pts.shape[:2], jnp.int32),
+            "gt_boxes": jnp.zeros((cfg.model.head.max_objs, 8), jnp.float32),
+            "num_boxes": jnp.int32(0),
+        }
+        out = self.model.forward(params, state, sample, train=False)
+        return new_buf, {
             "point_logits": out["point_logits"],
             "boxes": out["boxes"],
             "scores": out["scores"],
@@ -40,19 +82,29 @@ class InferencePipeline:
             "box_mask": out["box_mask"],
         }
 
-    def infer_window(self, scans: list[np.ndarray]) -> dict[str, np.ndarray]:
-        """scans: pose-aligned (N_i, 4) clouds, oldest..current.
-
-        Returns host arrays: point_logits trimmed to the raw current-scan
-        size, plus boxes/scores/labels trimmed to the NMS-kept count.
-        """
+    def push_scan(self, scan: np.ndarray, tf: np.ndarray | None = None) -> dict:
+        """Feed one raw scan (N, 4) in its own sensor frame; ``tf`` is
+        inv(pose_t) @ pose_{t-1} re-expressing the stored window in the new
+        frame (identity when untracked). Returns DEVICE outputs — call
+        :func:`fetch` (or np.asarray) to materialize on host."""
+        if self._buf is None:
+            self.reset()
         cap = self.cfg.runtime.max_points_per_scan
-        n_raw = len(scans[-1])
+        n_raw = len(scan)
         assert n_raw <= cap, f"scan has {n_raw} points > capacity {cap}"
-        sample = make_window_sample(
-            scans, capacity=cap, window=self.cfg.model.n_past_steps
+        padded = np.zeros((cap, 4), np.float32)
+        padded[:n_raw] = scan[:, :4]
+        if tf is None:
+            tf = np.eye(4, dtype=np.float32)
+        self._buf, out = self._step_fn(
+            self.params, self.state, self._buf,
+            jnp.asarray(padded), jnp.int32(n_raw), jnp.asarray(tf, jnp.float32),
         )
-        out = self._fwd(self.params, self.state, sample.arrays())
+        return out
+
+    @staticmethod
+    def fetch(out: dict, n_raw: int) -> dict[str, np.ndarray]:
+        """Device outputs -> trimmed host arrays."""
         out = jax.tree.map(np.asarray, out)
         kept = out["box_mask"].astype(bool)
         return {
@@ -62,24 +114,37 @@ class InferencePipeline:
             "labels": out["labels"][kept],
         }
 
+    # --------------------------------------------------- window interface
+    def infer_window(self, scans: list[np.ndarray]) -> dict[str, np.ndarray]:
+        """scans: pose-aligned (N_i, 4) clouds, oldest..current. Feeds the
+        window through the streaming step (state is reset first)."""
+        self.reset()
+        for s in scans:
+            out = self.push_scan(s)
+        return self.fetch(out, len(scans[-1]))
+
     def stream_sequence(
         self, scan_iter: Iterator[np.ndarray], poses: np.ndarray | None
     ) -> Iterator[dict[str, np.ndarray]]:
         """Yield per-scan outputs over a whole sequence, including the
-        growing-window warm-up for the first n_past_steps-1 scans."""
-        W = self.cfg.model.n_past_steps
-        window: deque[np.ndarray] = deque(maxlen=W)
+        growing-window warm-up for the first n_past_steps-1 scans.
+
+        Overlaps host IO with device compute: the next scan's upload is
+        issued before the previous outputs are fetched.
+        """
+        self.reset()
+        prev = None  # (device outputs, n_raw)
+        prev_pose = None
         for idx, scan in enumerate(scan_iter):
-            window.append(scan)
+            tf = None
             if poses is not None:
-                aligned = []
-                to_pose = poses[idx]
-                inv_to = np.linalg.inv(to_pose)
-                for j, pts in enumerate(window):
-                    tf = inv_to @ poses[idx - len(window) + 1 + j]
-                    out = pts.copy()
-                    out[:, :3] = pts[:, :3] @ tf[:3, :3].T + tf[:3, 3]
-                    aligned.append(out)
-            else:
-                aligned = list(window)
-            yield self.infer_window(aligned)
+                tf = (np.linalg.inv(poses[idx]) @ (
+                    prev_pose if prev_pose is not None else poses[idx]
+                )).astype(np.float32)
+                prev_pose = poses[idx]
+            out = self.push_scan(scan, tf)
+            if prev is not None:
+                yield self.fetch(*prev)
+            prev = (out, len(scan))
+        if prev is not None:
+            yield self.fetch(*prev)
