@@ -7,20 +7,47 @@ non-occupied slots stay zero (the engine invariant).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..sparse.slab import Slab, WindowTables, inverse_s2k2_conv, window_conv
-from .layers import batch_norm, mm, relu
+from .layers import mm, relu
 
 
 def _bn_slab(p, s, y: Slab, *, train, bn_args):
+    """BatchNorm over occupied (site, t) rows, FLAT on (V, T*C).
+
+    Relies on the engine invariant that non-occupied slots hold exact
+    zeros, so per-channel sums need no mask; the count is the occupancy
+    count (identical for every channel). Statistics match torch
+    BatchNorm1d over the real voxel rows (biased batch var, running var
+    unbiased). The (V*T, C) reshape the naive version used would relayout
+    into a tiny-trailing-dim form padded 16x by the tiler (PERF.md).
+    """
     C = y.num_features
-    V = y.capacity
-    f, ns = batch_norm(
-        p, s, y.feats.reshape(V * y.T, C),
-        train=train, mask=y.occ_flat(), **bn_args,
-    )
-    return f.reshape(V, y.T * C), ns
+    T = y.T
+    f = y.feats  # (V, T*C), zeros at non-occupied slots
+    momentum, eps = bn_args["momentum"], bn_args["eps"]
+    if train:
+        n = jnp.clip(
+            jnp.sum((y.occ & y.valid[:, None]).astype(jnp.float32)), 1.0, None
+        )
+        s1 = f.sum(axis=0).reshape(T, C).sum(axis=0)
+        s2 = (f * f).sum(axis=0).reshape(T, C).sum(axis=0)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        unbiased = var * n / jnp.clip(n - 1.0, 1.0, None)
+        ns = {
+            "mean": (1 - momentum) * s["mean"] + momentum * mean,
+            "var": (1 - momentum) * s["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        ns = s
+    scale = p["scale"] * jax.lax.rsqrt(var + eps)  # (C,)
+    bias = p["bias"] - mean * scale
+    out = f * jnp.tile(scale, T)[None] + jnp.tile(bias, T)[None]
+    return out, ns
 
 
 def subm_block_slab(p, s, x: Slab, kernel, tbl: WindowTables, out: Slab | None = None,
@@ -51,24 +78,27 @@ def basic_block_slab(p, s, x: Slab, kernel, tbl: WindowTables, *, train, bn_args
     f, ns["bn2"] = _bn_slab(p["bn2"], s["bn2"], y, train=train, bn_args=bn_args)
 
     if "down" in p:
-        cin = x.num_features
-        idt = mm(x.feats.reshape(-1, cin), p["down"]["w"][0])
-        idt, ns["down_bn"] = batch_norm(
-            p["down_bn"], s["down_bn"], idt,
-            train=train, mask=x.occ_flat(), **bn_args,
+        # 1x1 downsample, flat: per-t weight = block-diagonal kron
+        w_dn = p["down"]["w"][0]
+        idt = mm(x.feats, jnp.kron(jnp.eye(x.T, dtype=w_dn.dtype), w_dn))
+        idt, ns["down_bn"] = _bn_slab(
+            p["down_bn"], s["down_bn"], x.replace_feats(idt),
+            train=train, bn_args=bn_args,
         )
-        idt = idt.reshape(x.capacity, -1)
     else:
         idt = x.feats
-    out = y.replace_feats(relu(f.reshape(idt.shape) + idt))
+    out = y.replace_feats(relu(f + idt))
     return out.replace_feats(out.mask_feats()), ns
 
 
 def cat_slab(a: Slab, b: Slab) -> Slab:
     """Channel concat of two slabs on the same site set (ME.cat): interleave
-    per-t features so layout stays (V, T*(Ca+Cb))."""
-    V, T = a.capacity, a.T
+    per-t column blocks so layout stays (V, T*(Ca+Cb)) — flat 2D slices,
+    no (V, T, C) materialization."""
+    T = a.T
     ca, cb = a.num_features, b.num_features
-    fa = a.feats.reshape(V, T, ca)
-    fb = b.feats.reshape(V, T, cb)
-    return a.replace_feats(jnp.concatenate([fa, fb], axis=-1).reshape(V, T * (ca + cb)))
+    cols = []
+    for t in range(T):
+        cols.append(a.feats[:, t * ca : (t + 1) * ca])
+        cols.append(b.feats[:, t * cb : (t + 1) * cb])
+    return a.replace_feats(jnp.concatenate(cols, axis=-1))

@@ -223,10 +223,13 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         tables[1], chunk=chunk, **bn,
     )
 
-    c8 = y.num_features
-    logits = mm(y.feats.reshape(-1, c8), params["final"]["w"]) + params["final"]["b"]
-    cout = logits.shape[-1]
-    out = y.replace_feats(logits.reshape(y.capacity, W * cout))
+    w_f = params["final"]["w"]
+    cout = w_f.shape[-1]
+    # per-t 1x1 conv, flat: block-diagonal kron weight + tiled bias
+    logits = mm(y.feats, jnp.kron(jnp.eye(W, dtype=w_f.dtype), w_f)) + jnp.tile(
+        params["final"]["b"], W
+    )
+    out = y.replace_feats(logits)
     out = out.replace_feats(out.mask_feats())
     per_point = gather_slots(out, p2slot, cout).reshape(W, P, cout)
     return per_point[W - 1], per_point, ns, stats

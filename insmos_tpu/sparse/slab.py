@@ -97,12 +97,17 @@ class Slab:
         return self.occ.reshape(-1)  # (V*T,)
 
     def mask_feats(self, feats=None) -> jax.Array:
-        """Zero features at non-occupied slots: (V, T*C)."""
+        """Zero features at non-occupied slots: (V, T*C).
+
+        Flat 2D: the occupancy mask is lane-repeated to (V, T*C) rather
+        than reshaping features to (V, T, C) — small-trailing-dim arrays
+        are padded to 128 lanes by the TPU tiler (PERF.md), so a (V, T, C)
+        materialization at C=8 costs 16x its logical size.
+        """
         f = self.feats if feats is None else feats
         C = f.shape[-1] // self.T
-        V = f.shape[0]
-        f4 = f.reshape(V, self.T, C)
-        return jnp.where(self.occ[..., None], f4, 0.0).reshape(V, self.T * C)
+        m = jnp.repeat(self.occ, C, axis=1)  # (V, T*C), t-major like feats
+        return jnp.where(m, f, 0.0)
 
 
 def linearize3(coords, dims):
@@ -363,16 +368,21 @@ def window_tables(
     oy0 = out_coords[:, 1] * stride3[1] - pad3[1]
     oz0 = out_coords[:, 2] * stride3[2] - pad3[2]
 
-    # Grid probes as two 128-cell ROW takes + in-register one-hot select.
+    # Grid probes as ONE 256-cell overlapped ROW take + one-hot select.
     # A single-element or multi-dim sliced gather is pathologically slow
-    # on this runtime (tools probes); 512 B row gathers run at ~5 ns/row.
-    # The one-hot select is an f32 einsum — exact for indices < 2^24.
+    # on this runtime (tools probes); the probe cost is take-dominated
+    # (~18 ns/row from an HBM-resident grid), so the overlapped 256-wide
+    # view halves it vs two 128-wide takes. The one-hot select is an f32
+    # einsum — exact for indices < 2^24.
     NR = (n_cells + 2 + 127) // 128
     gpad = jnp.concatenate(
-        [grid, jnp.full((NR * 128 + 128 - grid.shape[0],), -1, jnp.int32)]
+        [grid, jnp.full((NR * 128 + 256 - grid.shape[0],), -1, jnp.int32)]
     )
-    g2a = gpad[: NR * 128].reshape(NR, 128)
-    g2b = gpad[128 : NR * 128 + 128].reshape(NR, 128)
+    # overlapped view: row r covers cells [r*128, r*128 + 256)
+    g256 = jnp.concatenate(
+        [gpad[: NR * 128].reshape(NR, 128), gpad[128 : NR * 128 + 128].reshape(NR, 128)],
+        axis=-1,
+    ).astype(jnp.float32)
     iota256 = jnp.arange(256, dtype=jnp.int32)
 
     wstarts = []
@@ -386,9 +396,7 @@ def window_tables(
         base = (iz * Y + iy) * X + ox  # first cell of the x-window
         row = jnp.clip(jnp.floor_divide(base, 128), 0, NR - 1)
         pos = base - row * 128  # window cell j lives at pair col pos + j
-        pair = jnp.concatenate(
-            [jnp.take(g2a, row, axis=0), jnp.take(g2b, row, axis=0)], axis=-1
-        ).astype(jnp.float32)  # (V, 256)
+        pair = jnp.take(g256, row, axis=0)  # (V, 256) f32
         onehot = (
             iota256[None, None] == (pos[:, None] + jx[None])[..., None]
         ).astype(jnp.float32)  # (V, kx, 256)
@@ -426,13 +434,6 @@ def _shift_concat(feats_pad, kx, vin):
     )
 
 
-def _gather_windows(f3, wstart, kx):
-    """(Vin+1, kx*TC), (V,) -> (V, kx, TC): one plain row fetch per site."""
-    tc = f3.shape[-1] // kx
-    win = jnp.take(f3, wstart, axis=0)
-    return win.reshape(win.shape[0], kx, tc)
-
-
 def window_conv(
     x: Slab,
     weight,  # (K, Cin, Cout), K enumerated x-fastest / t-slowest
@@ -442,7 +443,16 @@ def window_conv(
     chunk: int | None = None,
 ) -> Slab:
     """Generic windowed sparse conv: subm (out is x, centered tables) or
-    strided (out from derive_strided_sites, tables with stride/pad)."""
+    strided (out from derive_strided_sites, tables with stride/pad).
+
+    Inner math is FLAT 2D (V, T*C) throughout — no (V, kx, T, C)
+    intermediates, whose tiny trailing dims the TPU tiler pads to 128
+    lanes (16x bloat at C=8; PERF.md). Per group: one widened row take,
+    kx^2 lane-wide selects to align window slots to kernel x-positions,
+    and ONE matmul against a weight with the whole t-kernel structure
+    folded in as a (T, T) band (block-diagonal over t), so the temporal
+    offsets of a 3^4 kernel cost no extra passes.
+    """
     kx = tables.kx
     kt = kernel[3] if len(kernel) == 4 else 1
     G = tables.wstart.shape[0]
@@ -450,59 +460,51 @@ def window_conv(
     assert K == kx * G * kt, (K, kx, G, kt)
     T = x.T
     V = out.capacity
+    TC = T * cin
 
-    # weight (K=..t,z,y,x-fastest..) -> (G, kt, kx*cin, cout) with the
-    # group's inner layout (kx, cin) matching the aligned data
-    w = weight.reshape(kt, G, kx, cin, cout)  # t slowest, (z,y) = G, x fastest
-    w = jnp.moveaxis(w, 1, 0).reshape(G, kt, kx * cin, cout)
+    # Fold the t-kernel into per-group flat weights:
+    #   Wg[(d*T + t)*cin + c, t'*cout + o] = sum_it w[it,g,d,c,o] * [t - t' == it - lo]
+    lo = (kt - 1) // 2
+    w5 = weight.reshape(kt, G, kx, cin, cout)  # t slowest, (z,y)=G, x fastest
+    bands = jnp.stack(
+        [jnp.eye(T, k=-(it - lo), dtype=weight.dtype) for it in range(kt)]
+    )  # (kt, T, T'): 1 where t - t' == it - lo (out t' reads in t = t' + ot)
+    wg = jnp.einsum("igdco,itp->gdtcpo", w5, bands).reshape(
+        G, kx * TC, T * cout
+    )
 
     feats_pad = jnp.concatenate(
         [x.mask_feats().astype(weight.dtype),
-         jnp.zeros((kx, T * cin), weight.dtype)]
+         jnp.zeros((kx, TC), weight.dtype)]
     )
     f3 = _shift_concat(feats_pad, kx, x.capacity)
 
     def run(wstart_g, slotmap_g, acc, w_g):
-        rows = wstart_g.shape[0]
-        win = _gather_windows(f3, wstart_g, kx)  # (rows, kx_w, T*cin)
-        # align window slots to kernel x-positions: (rows, kx_dx, kx_w)
-        onehot = (
-            slotmap_g.T[:, :, None] == jnp.arange(kx, dtype=jnp.int8)[None, None]
-        ).astype(weight.dtype)
-        win4 = win.reshape(rows, kx, T, cin)
-        aligned = jnp.einsum(
-            "vdw,vwtc->vtdc", onehot, win4,
-            preferred_element_type=weight.dtype,
-            precision="highest",
-        ).reshape(rows, T, kx * cin)
-        lo = (kt - 1) // 2
-        contrib = jnp.zeros((rows, T, cout), jnp.float32)
-        for it in range(kt):
-            ot = it - lo
-            if ot == 0:
-                src = aligned
-            elif ot > 0:  # out t reads in t+ot
-                z = jnp.zeros((rows, ot, kx * cin), aligned.dtype)
-                src = jnp.concatenate([aligned[:, ot:], z], axis=1)
-            else:
-                z = jnp.zeros((rows, -ot, kx * cin), aligned.dtype)
-                src = jnp.concatenate([z, aligned[:, :ot]], axis=1)
-            contrib = contrib + jnp.einsum(
-                "vtk,kc->vtc", src, w_g[it],
-                preferred_element_type=jnp.float32,
-                precision="highest",
-            )
-        return acc + contrib.reshape(rows, T * cout)
+        win = jnp.take(f3, wstart_g, axis=0)  # (rows, kx*TC)
+        parts = []
+        for d in range(kx):  # kernel x-position d <- window slot slotmap[d]
+            sel = jnp.zeros((win.shape[0], TC), win.dtype)
+            for ws in range(kx):
+                sel = jnp.where(
+                    (slotmap_g[d] == ws)[:, None],
+                    win[:, ws * TC : (ws + 1) * TC],
+                    sel,
+                )
+            parts.append(sel)
+        src = jnp.concatenate(parts, axis=-1)  # (rows, kx*TC)
+        return acc + jnp.matmul(
+            src, w_g, preferred_element_type=jnp.float32, precision="highest"
+        )
 
     def scan_groups(wstart_all, slot_all):
         rows = wstart_all.shape[1]
         acc0 = jnp.zeros((rows, T * cout), jnp.float32)
 
         def body(acc, scanned):
-            ws, sm, wg = scanned
-            return run(ws, sm, acc, wg), None
+            ws, sm, w_g = scanned
+            return run(ws, sm, acc, w_g), None
 
-        acc, _ = jax.lax.scan(body, acc0, (wstart_all, slot_all, w))
+        acc, _ = jax.lax.scan(body, acc0, (wstart_all, slot_all, wg))
         return acc
 
     if chunk is None or V <= chunk:
@@ -524,21 +526,25 @@ def strided_occ(
     x: Slab, tables: WindowTables, out: Slab
 ) -> Slab:
     """Fill out.occ = OR over the gathered children's occupancy (the output
-    4D site set of a t-kernel-1 strided conv: same-t children)."""
+    4D site set of a t-kernel-1 strided conv: same-t children). Flat 2D:
+    per-slot lane selects instead of a (V, kx, T) einsum."""
     kx = tables.kx
+    T = x.T
     occ_pad = jnp.concatenate(
         [jnp.where(x.valid[:, None], x.occ, False).astype(jnp.float32),
-         jnp.zeros((kx, x.T), jnp.float32)]
+         jnp.zeros((kx, T), jnp.float32)]
     )
     o3 = _shift_concat(occ_pad, kx, x.capacity)
     G = tables.wstart.shape[0]
-    acc = jnp.zeros((out.capacity, x.T), jnp.float32)
+    acc = jnp.zeros((out.capacity, T), jnp.float32)
     for g in range(G):
-        win = _gather_windows(o3, tables.wstart[g], kx)  # (V, kx, T)
-        # window slot w holds the w-th present neighbour: mask w < count
+        win = jnp.take(o3, tables.wstart[g], axis=0)  # (V, kx*T)
+        # window slot w holds the w-th present neighbour: include w < count
         count = (tables.slotmap[g] >= 0).sum(axis=0)  # (V,)
-        m = (jnp.arange(kx)[None] < count[:, None]).astype(jnp.float32)
-        acc = acc + jnp.einsum("vw,vwt->vt", m, win)
+        for w in range(kx):
+            acc = acc + jnp.where(
+                (w < count)[:, None], win[:, w * T : (w + 1) * T], 0.0
+            )
     occ = (acc > 0) & out.valid[:, None]
     return Slab(out.keys, out.coords, occ, out.feats, out.valid, out.dims, out.T)
 
@@ -558,18 +564,29 @@ def inverse_s2k2_conv(
     f = coarse.mask_feats().astype(weight.dtype)
     f_pad = jnp.concatenate([f, jnp.zeros((1, T * cin), f.dtype)])
     idx = jnp.where(parent_idx >= 0, parent_idx, coarse.capacity)
-    pf = jnp.take(f_pad, idx, axis=0).reshape(fine.capacity, T, cin)
+    pf = jnp.take(f_pad, idx, axis=0)  # (Vf, T*cin) flat
     kidx = (
         (fine.coords[:, 0] & 1)
         + 2 * (fine.coords[:, 1] & 1)
         + 4 * (fine.coords[:, 2] & 1)
     )
-    onehot = (kidx[:, None] == jnp.arange(8)[None]).astype(weight.dtype)
-    sel_w = jnp.einsum("vk,kcd->vcd", onehot, weight[:8])  # (Vf, cin, cout)
-    out = jnp.einsum(
-        "vtc,vcd->vtd", pf, sel_w,
-        preferred_element_type=jnp.float32, precision="highest",
-    ).reshape(fine.capacity, T * cout)
+    # one matmul against all 8 kernel positions (block-diagonal over t),
+    # then per-site lane select of the right position — flat 2D, no
+    # (Vf, T, cin) / per-site-weight intermediates
+    eyeT = jnp.eye(T, dtype=weight.dtype)
+    w_all = jnp.einsum("kcd,tp->ktcpd", weight[:8], eyeT).reshape(
+        8, T * cin, T * cout
+    )
+    w_cat = jnp.moveaxis(w_all, 0, 1).reshape(T * cin, 8 * T * cout)
+    allk = jnp.matmul(
+        pf, w_cat, preferred_element_type=jnp.float32, precision="highest"
+    )  # (Vf, 8*T*cout), k-major blocks
+    TOUT = T * cout
+    out = jnp.zeros((fine.capacity, TOUT), jnp.float32)
+    for k in range(8):
+        out = jnp.where(
+            (kidx == k)[:, None], allk[:, k * TOUT : (k + 1) * TOUT], out
+        )
     res = fine.replace_feats(out)
     return res.replace_feats(res.mask_feats())
 
@@ -584,8 +601,17 @@ def parent_index(grid_coarse, coarse_dims, fine: Slab) -> jax.Array:
 
 
 def gather_slots(slab: Slab, point_to_slot, C: int):
-    """Per-point features from a slab: slot = site*T + t; -1 -> zeros."""
-    flat = slab.feats.reshape(slab.capacity * slab.T, C)
-    flat = jnp.concatenate([flat, jnp.zeros((1, C), flat.dtype)])
-    idx = jnp.where(point_to_slot >= 0, point_to_slot, slab.capacity * slab.T)
-    return jnp.take(flat, idx, axis=0)
+    """Per-point features from a slab: slot = site*T + t; -1 -> zeros.
+
+    Takes whole (T*C) site rows then extracts the point's t-block — the
+    (V*T, C) reshape would relayout the feature array into a tiny-trailing
+    form the tiler pads 16-50x (PERF.md)."""
+    T = slab.T
+    f_pad = jnp.concatenate(
+        [slab.feats, jnp.zeros((1, T * C), slab.feats.dtype)]
+    )
+    site = jnp.where(point_to_slot >= 0, point_to_slot // T, slab.capacity)
+    t = jnp.where(point_to_slot >= 0, point_to_slot % T, 0)
+    rows = jnp.take(f_pad, site, axis=0)  # (P, T*C)
+    cols = t[:, None] * C + jnp.arange(C, dtype=point_to_slot.dtype)[None]
+    return jnp.take_along_axis(rows, cols, axis=1)

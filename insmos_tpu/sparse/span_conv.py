@@ -1,0 +1,406 @@
+"""Pallas TPU span convolution — the fused fast path of the slab engine.
+
+Replaces window_tables + window_conv (slab.py) for the inference hot path.
+Key idea: sites are sorted by 3D key, so the input rows a block of 128
+consecutive output sites needs for one (dy, dz) kernel offset group form a
+BOUNDED, NEARLY-CONTIGUOUS span of the input site array (average advance
+1 site/site). Per (site-block, group) the kernel
+
+1. DMAs the key span and feature span (sequential HBM reads) into VMEM,
+2. computes per-site window ranks by comparing the key span against the
+   site's query keys (kx+1 lane reductions — this replaces the entire
+   grid-probe table machinery of window_tables),
+3. extracts each site's kx-row window with ONE one-hot matmul against a
+   roll-stacked span (MXU does the gather),
+4. aligns window slots to kernel x-positions with in-register selects,
+5. applies the t-folded block-diagonal group weight as a second MXU matmul,
+
+accumulating over groups in the output block. No random row gathers
+(measured ~24 ns each in XLA regardless of width — the old engine's floor)
+and no (V, 256) grid probes remain.
+
+Span overflow (a block whose true input span exceeds SPAN rows — possible
+when neighbour rows are much denser than the block's own rows) drops the
+out-of-span contributions; the XLA wrapper counts affected rows per conv
+and surfaces them through the model's overflow stats, consistent with the
+engine's capacity philosophy (slab.py docstring).
+
+The XLA windowed path remains the training/backward and CPU
+implementation; tests compare this kernel (interpret mode on CPU) against
+it bit-for-bit-ish (f32 tolerance).
+
+Reference being replaced: MinkowskiEngine kernel maps / spconv indice_key
+rulebooks (SURVEY.md S2.2; models/MinkowskiEngine/minkunet.py:55-137,
+models/backbones_3d/spconv_unet.py:120-207).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .slab import Slab, _groups_yz
+from .tensor import KEY_SENTINEL
+
+BS = 128  # sites per block
+SPAN = 256  # input span rows fetched per (block, group)
+
+
+def _bisect(keys, queries, n_iter):
+    """Vectorized first-index-with-key >= query over a sorted array."""
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, keys.shape[0], jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        v = jnp.take(keys, mid)
+        less = v < queries
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return lo
+
+
+def fold_weights(weight, kx, G, kt, T, dtype):
+    """(K, cin, cout) -> (G, kx*T*cin, T*cout) with the t-kernel folded in
+    as a (T, T) band — identical layout to window_conv's wg."""
+    K, cin, cout = weight.shape
+    lo = (kt - 1) // 2
+    w5 = weight.reshape(kt, G, kx, cin, cout)
+    bands = jnp.stack(
+        [jnp.eye(T, k=-(it - lo), dtype=dtype) for it in range(kt)]
+    )
+    return jnp.einsum(
+        "igdco,itp->gdtcpo", w5.astype(dtype), bands
+    ).reshape(G, kx * T * cin, T * cout)
+
+
+def _kernel(
+    # scalar prefetch
+    sb_ref,  # (G, NB) int32 span starts
+    gp_ref,  # (G, 2) int32 (ky_i, kz_i)
+    # blocked inputs
+    ox_ref,  # (BS,) out x
+    oy_ref,
+    oz_ref,
+    ovalid_ref,  # (BS,) int32 1/0
+    wg_ref,  # (1, kx*TC, TO)
+    # ANY inputs (manual DMA)
+    keys_ref,  # (Vin + SPAN,)
+    feats_ref,  # (Vin + SPAN, TC)
+    # output
+    out_ref,  # (BS, TO) f32
+    # scratch
+    kscr,  # (SPAN,) int32
+    fscr,  # (SPAN, TC)
+    sems,  # DMA (2,)
+    *,
+    kx,
+    TC,
+    in_dims,
+    stride3,
+    pad3,
+):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    X, Y, Z = in_dims
+    sx, sy, sz = stride3
+    px, py, pz = pad3
+
+    s = sb_ref[g, b]
+    pltpu.make_async_copy(keys_ref.at[pl.ds(s, SPAN)], kscr, sems.at[0]).start()
+    pltpu.make_async_copy(
+        feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
+    ).start()
+
+    ky_i = gp_ref[g, 0]
+    kz_i = gp_ref[g, 1]
+    ox = ox_ref[:]
+    oy = oy_ref[:]
+    oz = oz_ref[:]
+    iy = oy * sy - py + ky_i
+    iz = oz * sz - pz + kz_i
+    xbase = ox * sx - px
+    row_ok = (
+        (ovalid_ref[:] > 0)
+        & (iy >= 0) & (iy < Y)
+        & (iz >= 0) & (iz < Z)
+    )
+    q = (iz * Y + iy) * X + xbase  # (BS,) int32 window base key
+
+    pltpu.make_async_copy(keys_ref.at[pl.ds(s, SPAN)], kscr, sems.at[0]).wait()
+    kspan = kscr[:].reshape(1, SPAN)
+
+    # ranks r_c = #span keys < q + c  ->  presence / slot / window start
+    qc = q[:, None]
+    ranks = []
+    for c in range(kx + 1):
+        ranks.append(
+            jnp.sum((kspan < qc + c).astype(jnp.int32), axis=1)
+        )  # (BS,)
+    l0 = ranks[0]
+
+    pltpu.make_async_copy(
+        feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
+    ).wait()
+
+    # one-hot window extraction: win[i] = span rows l0[i] .. l0[i]+kx-1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BS, SPAN), 1)
+    oh = (lane == l0[:, None]).astype(wg_ref.dtype)
+    f = fscr[:]
+    bsh = jnp.concatenate(
+        [f] + [pltpu.roll(f, SPAN - d, axis=0) for d in range(1, kx)], axis=1
+    )  # (SPAN, kx*TC); wrapped tail rows are masked by presence below
+    win = jax.lax.dot_general(
+        oh, bsh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BS, kx*TC)
+
+    parts = []
+    for d in range(kx):
+        present = ((ranks[d + 1] - ranks[d]) == 1) & row_ok
+        present &= (xbase + d >= 0) & (xbase + d < X)
+        slot = ranks[d] - l0
+        sel = jnp.zeros((BS, TC), jnp.float32)
+        for w in range(kx):
+            m = present & (slot == w)
+            sel = jnp.where(m[:, None], win[:, w * TC : (w + 1) * TC], sel)
+        parts.append(sel)
+    src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
+
+    contrib = jax.lax.dot_general(
+        src, wg_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BS, TO)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(g > 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SpanPlan:
+    """Per-(output site set, kernel geometry) span metadata — the span
+    engine's replacement for window tables. Shared by every conv with the
+    same geometry on the same site sets (e.g. both convs of a residual
+    block)."""
+
+    sb: jax.Array  # (G, NB) int32 span starts into the input site array
+    gp: jax.Array  # (G, 2) int32 (ky_i, kz_i)
+    n_overflow: jax.Array  # () int32 rows whose true span exceeded SPAN
+    kernel3: tuple = dataclasses.field(metadata={"static": True})
+    stride3: tuple = dataclasses.field(metadata={"static": True})
+    pad3: tuple = dataclasses.field(metadata={"static": True})
+    in_dims: tuple = dataclasses.field(metadata={"static": True})
+
+    def conv(self, x: Slab, weight, out: Slab, kernel, chunk=None) -> Slab:
+        """window_conv-compatible entry (chunk ignored)."""
+        kt = kernel[3] if len(kernel) == 4 else 1
+        feats = span_conv_apply(
+            x.keys, x.mask_feats(), out.coords, out.valid, weight,
+            self.sb, self.gp, x.T, self.kernel3, kt,
+            self.stride3, self.pad3, self.in_dims,
+        )
+        res = out.replace_feats(feats)
+        return res.replace_feats(res.mask_feats())
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel3", "stride3", "pad3", "in_dims")
+)
+def make_span_plan(
+    x_keys,  # (Vin,) int32 sorted input site keys
+    out_coords,  # (V, 3)
+    out_valid,  # (V,)
+    kernel3,
+    stride3=(1, 1, 1),
+    pad3=None,
+    in_dims=None,
+) -> SpanPlan:
+    """Compute per-(group, block) span starts by bisection over the sorted
+    input keys, plus span-overflow accounting from each block's last site."""
+    kx = int(kernel3[0])
+    if pad3 is None:
+        pad3 = tuple((k - 1) // 2 for k in kernel3)
+    groups = _groups_yz(kernel3)
+    V = out_coords.shape[0]
+    Vin = x_keys.shape[0]
+    NB = -(-V // BS)
+    Vp = NB * BS
+
+    def padV(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((Vp - V,) + a.shape[1:], fill, a.dtype)]
+        ) if Vp > V else a
+
+    ocoords = padV(out_coords, 0)
+    ovalid = padV(out_valid.astype(jnp.int32), 0)
+
+    X, Y, Z = in_dims
+    sx, sy, sz = stride3
+    px, py, pz = pad3
+    ky = jnp.asarray([g[0] for g in groups], jnp.int32)
+    kz = jnp.asarray([g[1] for g in groups], jnp.int32)
+
+    def block_q(c3, v):
+        iy = c3[:, 1] * sy - py + ky[:, None]
+        iz = c3[:, 2] * sz - pz + kz[:, None]
+        q = (iz * Y + iy) * X + (c3[:, 0] * sx - px)[None]
+        return jnp.where(v[None] > 0, q, jnp.iinfo(jnp.int32).max)  # (G, NB)
+
+    firsts = block_q(ocoords[::BS], ovalid[::BS])
+    lasts = block_q(ocoords[BS - 1 :: BS], ovalid[BS - 1 :: BS])
+    n_iter = max(1, math.ceil(math.log2(Vin + 1)))
+    sb = _bisect(x_keys, firsts, n_iter)  # (G, NB)
+    send = _bisect(
+        x_keys,
+        jnp.minimum(lasts, jnp.iinfo(jnp.int32).max - kx) + kx,
+        n_iter,
+    )
+    n_overflow = jnp.sum(jnp.maximum(send - sb - SPAN, 0))
+    gp = jnp.stack([ky, kz], axis=1)  # (G, 2)
+    return SpanPlan(
+        sb=sb, gp=gp, n_overflow=n_overflow,
+        kernel3=tuple(kernel3), stride3=tuple(stride3), pad3=tuple(pad3),
+        in_dims=tuple(in_dims),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "kernel3", "kt", "stride3", "pad3", "in_dims"),
+)
+def span_conv_apply(
+    x_keys,  # (Vin,) int32 sorted input site keys
+    x_feats,  # (Vin, T*cin) input features (zeros at padding/non-occ)
+    out_coords,  # (V, 3)
+    out_valid,  # (V,)
+    weight,  # (K, cin, cout)
+    sb,  # (G, NB) from make_span_plan
+    gp,  # (G, 2)
+    T: int,
+    kernel3,
+    kt: int = 1,
+    stride3=(1, 1, 1),
+    pad3=None,
+    in_dims=None,
+):
+    """Run the span kernel with a precomputed plan. Returns out_feats
+    (V, T*cout) f32."""
+    kx = int(kernel3[0])
+    groups = _groups_yz(kernel3)
+    G = len(groups)
+    K, cin, cout = weight.shape
+    assert K == kx * G * kt
+    TC = T * cin
+    TO = T * cout
+    V = out_coords.shape[0]
+    NB = -(-V // BS)
+    Vp = NB * BS
+
+    dtype = weight.dtype if weight.dtype == jnp.bfloat16 else jnp.float32
+    wg = fold_weights(weight, kx, G, kt, T, dtype)
+
+    def padV(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((Vp - V,) + a.shape[1:], fill, a.dtype)]
+        ) if Vp > V else a
+
+    ocoords = padV(out_coords, 0)
+    ovalid = padV(out_valid.astype(jnp.int32), 0)
+    keys_pad = jnp.concatenate(
+        [x_keys, jnp.full((SPAN,), KEY_SENTINEL, jnp.int32)]
+    )
+    feats_pad = jnp.concatenate(
+        [x_feats.astype(dtype), jnp.zeros((SPAN, TC), dtype)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NB, G),
+        in_specs=[
+            pl.BlockSpec((BS,), lambda b, g, *_: (b,)),
+            pl.BlockSpec((BS,), lambda b, g, *_: (b,)),
+            pl.BlockSpec((BS,), lambda b, g, *_: (b,)),
+            pl.BlockSpec((BS,), lambda b, g, *_: (b,)),
+            pl.BlockSpec((1, kx * TC, TO), lambda b, g, *_: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((BS, TO), lambda b, g, *_: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((SPAN,), jnp.int32),
+            pltpu.VMEM((SPAN, TC), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kern = functools.partial(
+        _kernel, kx=kx, TC=TC, in_dims=in_dims, stride3=stride3, pad3=pad3
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Vp, TO), jnp.float32),
+        interpret=_interpret(),
+    )(
+        sb, gp,
+        ocoords[:, 0], ocoords[:, 1], ocoords[:, 2], ovalid,
+        wg, keys_pad, feats_pad,
+    )
+    return out[:V]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def span_conv_slab(
+    x: Slab,
+    weight,
+    out: Slab,
+    kernel,  # (kx, ky, kz[, kt])
+    stride3=(1, 1, 1),
+    pad3=None,
+) -> tuple[Slab, jax.Array]:
+    """One-shot wrapper (plan + conv); returns (result slab, span-overflow
+    row count)."""
+    plan = make_span_plan(
+        x.keys, out.coords, out.valid, tuple(kernel[:3]),
+        stride3=tuple(stride3),
+        pad3=None if pad3 is None else tuple(pad3),
+        in_dims=tuple(x.dims),
+    )
+    return plan.conv(x, weight, out, kernel), plan.n_overflow
+
+
+def span_strided_occ(x: Slab, plan: SpanPlan, out: Slab) -> Slab:
+    """out.occ = OR over gathered children's occupancy, via the span kernel
+    with all-ones weights on occ-as-features (replaces strided_occ for the
+    span engine)."""
+    kernel3 = plan.kernel3
+    K = int(np.prod(kernel3))
+    occ_feats = jnp.where(
+        x.valid[:, None], x.occ, False
+    ).astype(jnp.float32)  # (V, T*1)
+    ones = jnp.ones((K, 1, 1), jnp.float32)
+    acc = span_conv_apply(
+        x.keys, occ_feats, out.coords, out.valid, ones,
+        plan.sb, plan.gp, x.T, kernel3, 1,
+        plan.stride3, plan.pad3, plan.in_dims,
+    )  # (V, T)
+    occ = (acc > 0.5) & out.valid[:, None]
+    return Slab(out.keys, out.coords, occ, out.feats, out.valid, out.dims, out.T)

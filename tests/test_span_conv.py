@@ -1,0 +1,119 @@
+"""Pallas span-conv kernel vs the windowed XLA engine (oracle-chained).
+
+Runs in pallas interpret mode on CPU. window_conv itself is verified
+against the dense/sorted-key oracle in test_slab.py, so agreement here
+chains span_conv to the oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from insmos_tpu.sparse.slab import (
+    build_slab,
+    derive_strided_sites,
+    site_grid,
+    window_conv,
+    window_tables,
+)
+from insmos_tpu.sparse.span_conv import span_conv_slab
+
+DIMS3 = (16, 12, 10)
+T = 4
+
+
+def _random_slab(rng, n, cap, cin, ext=None):
+    ext = ext or DIMS3
+    coords3 = np.stack(
+        [rng.integers(0, e, n) for e in ext], axis=-1
+    ).astype(np.int32)
+    tcol = rng.integers(0, T, n).astype(np.int32)
+    slab, _, n_sites, n_drop = build_slab(
+        jnp.asarray(coords3), jnp.asarray(tcol), jnp.ones(n, bool), DIMS3, T, cap
+    )
+    assert int(n_drop) == 0
+    feats = rng.normal(size=(cap, T * cin)).astype(np.float32)
+    slab = slab.replace_feats(jnp.asarray(feats))
+    return slab.replace_feats(slab.mask_feats())
+
+
+@pytest.mark.parametrize(
+    "seed,n,kernel", [(0, 300, (3, 3, 3, 3)), (1, 1200, (3, 3, 3, 1)),
+                      (2, 50, (3, 3, 3, 3)), (3, 500, (5, 5, 5, 1))]
+)
+def test_span_subm_matches_window(seed, n, kernel):
+    rng = np.random.default_rng(seed)
+    cin, cout = 5, 6
+    slab = _random_slab(rng, n, 1024, cin)
+    K = int(np.prod(kernel))
+    w = jnp.asarray(rng.normal(size=(K, cin, cout)).astype(np.float32)) * 0.2
+
+    grid = site_grid(slab)
+    tbl = window_tables(
+        grid, DIMS3, slab.coords, slab.valid, kernel[:3], vin=slab.capacity
+    )
+    ref = window_conv(slab, w, tbl, slab, kernel)
+    got, n_ovf = span_conv_slab(slab, w, slab, kernel)
+    assert int(n_ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_span_strided_matches_window():
+    rng = np.random.default_rng(5)
+    cin, cout = 5, 6
+    slab = _random_slab(rng, 400, 1024, cin)
+    kernel = (2, 2, 2, 1)
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32)) * 0.2
+    dims2 = tuple(-(-d // 2) for d in DIMS3)
+    out, _, n_drop = derive_strided_sites(
+        slab, (2, 2, 2), (2, 2, 2), (0, 0, 0), dims2, 512
+    )
+    assert int(n_drop) == 0
+    grid = site_grid(slab)
+    tbl = window_tables(
+        grid, DIMS3, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), vin=slab.capacity,
+    )
+    ref = window_conv(slab, w, tbl, out, kernel)
+    got, n_ovf = span_conv_slab(
+        slab, w, out, kernel, stride3=(2, 2, 2), pad3=(0, 0, 0)
+    )
+    assert int(n_ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_span_edge_sites():
+    """Sites hugging grid edges: x-wrap aliases must not contribute."""
+    coords3 = np.array(
+        [[0, 0, 0], [15, 0, 0], [0, 11, 9], [15, 11, 9], [0, 5, 5],
+         [15, 4, 5], [14, 4, 5], [1, 5, 5], [8, 0, 0], [0, 1, 0]],
+        np.int32,
+    )
+    n = len(coords3)
+    tcol = (np.arange(n) % T).astype(np.int32)
+    rng = np.random.default_rng(11)
+    slab, _, _, _ = build_slab(
+        jnp.asarray(coords3), jnp.asarray(tcol), jnp.ones(n, bool), DIMS3, T, 64
+    )
+    cin, cout = 3, 2
+    slab = slab.replace_feats(
+        jnp.asarray(rng.normal(size=(64, T * cin)).astype(np.float32))
+    )
+    slab = slab.replace_feats(slab.mask_feats())
+    kernel = (3, 3, 3, 3)
+    w = jnp.asarray(rng.normal(size=(81, cin, cout)).astype(np.float32))
+
+    grid = site_grid(slab)
+    tbl = window_tables(
+        grid, DIMS3, slab.coords, slab.valid, (3, 3, 3), vin=slab.capacity
+    )
+    ref = window_conv(slab, w, tbl, slab, kernel)
+    got, _ = span_conv_slab(slab, w, slab, kernel)
+    np.testing.assert_allclose(
+        np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
+    )

@@ -124,5 +124,70 @@ def main():
     timeit(deriv, (slab,), args.iters, "derive_strided_sites L1->L2")
 
 
+def span_bench():
+    """Benchmark the Pallas span kernel at L1 scale (run with --span)."""
+    import argparse
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _bench_cfg, make_window
+    from insmos_tpu.sparse.slab import build_slab
+    from insmos_tpu.sparse.span_conv import span_conv_slab
+
+    cfg = _bench_cfg()
+    mc = cfg.model.motionnet
+    dims1 = mc.grid_size
+    W = cfg.model.n_past_steps
+    cap = mc.site_capacities[0]
+
+    sample = make_window(cfg)
+    P = sample["points"].shape[1]
+    pts = jnp.asarray(sample["points"])
+    pv = (
+        jnp.arange(P)[None, :] < jnp.asarray(sample["num_points"])[:, None]
+    ) & jnp.asarray(sample["scan_mask"])[:, None]
+    lo = jnp.asarray(mc.crop_range[:3], jnp.float32)
+    coords3 = jnp.floor((pts[..., :3].reshape(-1, 3) - lo) * 10.0).astype(jnp.int32)
+    tcol = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[:, None], (W, P)
+    ).reshape(-1)
+    slab, _, n1, _ = jax.jit(
+        lambda c, t, v: build_slab(c, t, v, dims1, W, cap)
+    )(coords3, tcol, pv.reshape(-1))
+    key = jax.random.PRNGKey(0)
+    print(f"sites={int(n1)}")
+
+    # stem 5x5x5x1, cin=1
+    slab1 = slab.replace_feats(
+        (jnp.full((cap, W), 0.5, jnp.float32) * slab.occ).astype(jnp.float32)
+    )
+    w_stem = (jax.random.normal(key, (125, 1, 8)) * 0.1).astype(jnp.bfloat16)
+    f_stem = jax.jit(
+        lambda s, w: span_conv_slab(s, w, s, (5, 5, 5, 1))[0].feats.sum()
+    )
+    timeit(lambda s, w: f_stem(s, w), (slab1, w_stem), 3, "span stem 5^3x1 1->8")
+
+    # block 3^4, cin=8
+    slab8 = slab.replace_feats(
+        jax.random.normal(key, (cap, W * 8)).astype(jnp.float32)
+    )
+    slab8 = slab8.replace_feats(slab8.mask_feats())
+    w_blk = (jax.random.normal(key, (81, 8, 8)) * 0.1).astype(jnp.bfloat16)
+    f_blk = jax.jit(
+        lambda s, w: span_conv_slab(s, w, s, (3, 3, 3, 3))[0].feats.sum()
+    )
+    timeit(lambda s, w: f_blk(s, w), (slab8, w_blk), 3, "span block 3^4 8->8")
+
+    # overflow count
+    _, ovf = jax.jit(lambda s, w: span_conv_slab(s, w, s, (3, 3, 3, 3)))(slab8, w_blk)
+    print(f"span overflow rows (3^4): {int(ovf)}")
+    _, ovf = jax.jit(lambda s, w: span_conv_slab(s, w, s, (5, 5, 5, 1)))(slab1, w_stem)
+    print(f"span overflow rows (stem): {int(ovf)}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--span" in sys.argv:
+        sys.argv.remove("--span")
+        span_bench()
+    else:
+        main()
