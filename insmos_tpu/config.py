@@ -165,6 +165,9 @@ class RuntimeConfig:
     # for bit-accurate oracle comparisons.
     compute_dtype: str = "bfloat16"
     conv_chunk: int = 65_536  # row-chunk for gather-conv intermediates
+    # sparse conv engine: "auto" = Pallas span kernel for inference on TPU,
+    # XLA windowed path for training/CPU; "window" / "span" force one.
+    sparse_engine: str = "auto"
     data_axis: str = "data"  # mesh axis name for data parallelism
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..sparse.slab import Slab, WindowTables, inverse_s2k2_conv, window_conv
+from ..sparse.slab import Slab, WindowTables, inverse_s2k2_conv
 from .layers import mm, relu
 
 
@@ -53,8 +53,9 @@ def _bn_slab(p, s, y: Slab, *, train, bn_args):
 def subm_block_slab(p, s, x: Slab, kernel, tbl: WindowTables, out: Slab | None = None,
                     *, train, bn_args, chunk=None):
     """conv + BN + ReLU. With `out`/strided tables this is the strided
-    variant (post_act_block 'spconv'); otherwise submanifold."""
-    y = window_conv(x, p["conv"]["w"], tbl, out if out is not None else x, kernel, chunk=chunk)
+    variant (post_act_block 'spconv'); otherwise submanifold. `tbl` is a
+    WindowTables or span_conv.SpanPlan (both expose .conv)."""
+    y = tbl.conv(x, p["conv"]["w"], out if out is not None else x, kernel, chunk=chunk)
     f, bn_s = _bn_slab(p["bn"], s["bn"], y, train=train, bn_args=bn_args)
     y = y.replace_feats(relu(f))
     return y.replace_feats(y.mask_feats()), {"bn": bn_s}
@@ -71,10 +72,10 @@ def inverse_block_slab(p, s, coarse: Slab, fine: Slab, parent_idx, *, train, bn_
 def basic_block_slab(p, s, x: Slab, kernel, tbl: WindowTables, *, train, bn_args, chunk=None):
     """Residual block (MinkowskiEngine BasicBlock / spconv SparseBasicBlock)."""
     ns = {}
-    y = window_conv(x, p["conv1"]["w"], tbl, x, kernel, chunk=chunk)
+    y = tbl.conv(x, p["conv1"]["w"], x, kernel, chunk=chunk)
     f, ns["bn1"] = _bn_slab(p["bn1"], s["bn1"], y, train=train, bn_args=bn_args)
     y = y.replace_feats(y.mask_feats(relu(f)))
-    y = window_conv(y, p["conv2"]["w"], tbl, y, kernel, chunk=chunk)
+    y = tbl.conv(y, p["conv2"]["w"], y, kernel, chunk=chunk)
     f, ns["bn2"] = _bn_slab(p["bn2"], s["bn2"], y, train=train, bn_args=bn_args)
 
     if "down" in p:

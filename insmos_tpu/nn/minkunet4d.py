@@ -43,9 +43,20 @@ from ..sparse.slab import (
     parent_index,
     site_grid,
     strided_occ,
-    window_conv,
     window_tables,
 )
+from ..sparse.span_conv import make_span_plan, span_strided_occ
+
+
+def use_span_engine(cfg: Config, train: bool) -> bool:
+    """Span (Pallas) engine for inference on accelerator backends; the XLA
+    windowed path for training (differentiable) and CPU."""
+    mode = cfg.runtime.sparse_engine
+    if mode == "window":
+        return False
+    if mode == "span":
+        return True
+    return (not train) and jax.default_backend() != "cpu"
 from .blocks import init_basic_block, init_conv_bn
 from .blocks_slab import (
     basic_block_slab,
@@ -133,7 +144,9 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
     ns = {}
     bn = dict(bn_args=_BN, train=train)
 
-    # ---- per-level site derivation, grids, tables --------------------
+    # ---- per-level site derivation, grids, tables/plans --------------
+    span = use_span_engine(cfg, train)
+    stats["span_overflow"] = []
     slabs = {1: x}
     tables = {}
     down_tables = {}
@@ -143,32 +156,65 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         ((1, 2, caps[1]), (2, 4, caps[2]), (4, 8, caps[3]))
     ):
         dims[fout] = _level_dims(dims1, fout)
-        grid = site_grid(slabs[fin])
+        grid = None if span else site_grid(slabs[fin])
+        s_in = slabs[fin]
         if fin == 1:
-            tables["stem"] = window_tables(
-                grid, dims[fin], slabs[fin].coords, slabs[fin].valid,
-                _K3_STEM, vin=caps[0],
+            tables["stem"] = (
+                make_span_plan(
+                    s_in.keys, s_in.coords, s_in.valid, _K3_STEM,
+                    in_dims=dims[fin],
+                )
+                if span
+                else window_tables(
+                    grid, dims[fin], s_in.coords, s_in.valid, _K3_STEM,
+                    vin=caps[0],
+                )
             )
-        tables[fin] = window_tables(
-            grid, dims[fin], slabs[fin].coords, slabs[fin].valid,
-            _K3_BLOCK, vin=slabs[fin].capacity,
+        tables[fin] = (
+            make_span_plan(
+                s_in.keys, s_in.coords, s_in.valid, _K3_BLOCK,
+                in_dims=dims[fin],
+            )
+            if span
+            else window_tables(
+                grid, dims[fin], s_in.coords, s_in.valid, _K3_BLOCK,
+                vin=s_in.capacity,
+            )
         )
         nxt, n_s, n_d = derive_strided_sites(
-            slabs[fin], _K3_DOWN, _S2, _P0, dims[fout], cap
+            s_in, _K3_DOWN, _S2, _P0, dims[fout], cap
         )
         stats["sites"].append(n_s)
         stats["dropped"].append(n_d)
-        down_tables[fout] = window_tables(
-            grid, dims[fin], nxt.coords, nxt.valid, _K3_DOWN,
-            stride3=_S2, pad3=_P0, vin=slabs[fin].capacity,
-        )
-        nxt = strided_occ(slabs[fin], down_tables[fout], nxt)
+        if span:
+            down_tables[fout] = make_span_plan(
+                s_in.keys, nxt.coords, nxt.valid, _K3_DOWN,
+                stride3=_S2, pad3=_P0, in_dims=dims[fin],
+            )
+            nxt = span_strided_occ(s_in, down_tables[fout], nxt)
+        else:
+            down_tables[fout] = window_tables(
+                grid, dims[fin], nxt.coords, nxt.valid, _K3_DOWN,
+                stride3=_S2, pad3=_P0, vin=s_in.capacity,
+            )
+            nxt = strided_occ(s_in, down_tables[fout], nxt)
         slabs[fout] = nxt
-    grid8 = site_grid(slabs[8])
-    tables[8] = window_tables(
-        grid8, dims[8], slabs[8].coords, slabs[8].valid, _K3_BLOCK,
-        vin=slabs[8].capacity,
+    s8 = slabs[8]
+    grid8 = site_grid(s8)
+    tables[8] = (
+        make_span_plan(s8.keys, s8.coords, s8.valid, _K3_BLOCK, in_dims=dims[8])
+        if span
+        else window_tables(
+            grid8, dims[8], s8.coords, s8.valid, _K3_BLOCK, vin=s8.capacity
+        )
     )
+    if span:
+        stats["span_overflow"] = [
+            tables["stem"].n_overflow, tables[1].n_overflow,
+            tables[2].n_overflow, tables[4].n_overflow, tables[8].n_overflow,
+            down_tables[2].n_overflow, down_tables[4].n_overflow,
+            down_tables[8].n_overflow,
+        ]
     # parent indices for the up path (fine -> its stride-2 parent)
     for fin, fout in ((4, 8), (2, 4), (1, 2)):
         grid = grid8 if fout == 8 else site_grid(slabs[fout])

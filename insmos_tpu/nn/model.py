@@ -106,6 +106,13 @@ class InsMOSModel:
             "motion_dropped": jnp.stack(motion_stats["dropped"]),
             "voxelizer_dropped": jnp.sum((p2v < 0) & cur_valid),
         }
+        # span-engine overflow: rows whose input span exceeded the kernel's
+        # fetch window (contributions dropped — must be ~0 at ref scale)
+        span_ovf = motion_stats.get("span_overflow", []) + unet_stats.get(
+            "span_overflow", []
+        )
+        if span_ovf:
+            overflow["span_overflow"] = jnp.stack(span_ovf)
 
         return {
             "overflow": overflow,

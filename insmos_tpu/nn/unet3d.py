@@ -163,7 +163,11 @@ def unet3d_forward(
 
     stats = {"sites": [], "dropped": []}
 
-    # ---------------- site derivation + window tables ----------------
+    # ------------- site derivation + window tables / span plans -------
+    from .minkunet4d import use_span_engine
+    from ..sparse.span_conv import make_span_plan
+
+    span = use_span_engine(cfg, train)
     level_sites = {1: x}  # SparseTensor site sets (for pairs/inverse)
     slabs = {1: slab_from_sparse(x)}
     tables = {}
@@ -171,10 +175,17 @@ def unet3d_forward(
     pair_maps = {}
     for lvl, stride in ((2, 2), (3, 4), (4, 8)):
         fin = stride // 2
-        grid = site_grid(slabs[fin])
-        tables[fin] = window_tables(
-            grid, dims[fin], slabs[fin].coords, slabs[fin].valid, _K3,
-            vin=slabs[fin].capacity,
+        s_in = slabs[fin]
+        grid = None if span else site_grid(s_in)
+        tables[fin] = (
+            make_span_plan(
+                s_in.keys, s_in.coords, s_in.valid, _K3, in_dims=dims[fin]
+            )
+            if span
+            else window_tables(
+                grid, dims[fin], s_in.coords, s_in.valid, _K3,
+                vin=s_in.capacity,
+            )
         )
         sites, prs, kis = strided_conv_sites(
             level_sites[fin], _K3, _S2, _P1, dims[stride], caps[lvl - 1],
@@ -183,27 +194,55 @@ def unet3d_forward(
         pair_maps[stride] = (prs, kis)
         level_sites[stride] = sites
         nxt = slab_from_sparse(sites.sites())
-        down_tables[stride] = window_tables(
-            grid, dims[fin], nxt.coords, nxt.valid, _K3,
-            stride3=_S2, pad3=_P1, vin=slabs[fin].capacity,
+        down_tables[stride] = (
+            make_span_plan(
+                s_in.keys, nxt.coords, nxt.valid, _K3,
+                stride3=_S2, pad3=_P1, in_dims=dims[fin],
+            )
+            if span
+            else window_tables(
+                grid, dims[fin], nxt.coords, nxt.valid, _K3,
+                stride3=_S2, pad3=_P1, vin=s_in.capacity,
+            )
         )
         slabs[stride] = nxt
         stats["sites"].append(jnp.sum(sites.valid))
-    grid8 = site_grid(slabs[8])
-    tables[8] = window_tables(
-        grid8, dims[8], slabs[8].coords, slabs[8].valid, _K3,
-        vin=slabs[8].capacity,
+    s8 = slabs[8]
+    grid8 = None if span else site_grid(s8)
+    tables[8] = (
+        make_span_plan(s8.keys, s8.coords, s8.valid, _K3, in_dims=dims[8])
+        if span
+        else window_tables(
+            grid8, dims[8], s8.coords, s8.valid, _K3, vin=s8.capacity
+        )
     )
     # conv_out: z-only stride-2 -> encoded sites (stride 8 in xy, 16 in z)
     dims_out = (dims[8][0], dims[8][1], (dims[8][2] - _KZ[2]) // _SZ[2] + 1)
     sites_out, prs_out, kis_out = strided_conv_sites(
         level_sites[8], _KZ, _SZ, _PZ, dims_out, caps[4], with_pairs=True
     )
-    out_tbl = window_tables(
-        grid8, dims[8], sites_out.coords, sites_out.valid, _KZ,
-        stride3=_SZ, pad3=_PZ, vin=slabs[8].capacity,
+    out_tbl = (
+        make_span_plan(
+            s8.keys, sites_out.coords, sites_out.valid, _KZ,
+            stride3=_SZ, pad3=_PZ, in_dims=dims[8],
+        )
+        if span
+        else window_tables(
+            grid8, dims[8], sites_out.coords, sites_out.valid, _KZ,
+            stride3=_SZ, pad3=_PZ, vin=s8.capacity,
+        )
     )
     slab_out = slab_from_sparse(sites_out.sites())
+    stats["span_overflow"] = (
+        [
+            tables[1].n_overflow, tables[2].n_overflow, tables[4].n_overflow,
+            tables[8].n_overflow, down_tables[2].n_overflow,
+            down_tables[4].n_overflow, down_tables[8].n_overflow,
+            out_tbl.n_overflow,
+        ]
+        if span
+        else []
+    )
 
     # ---------------- encoder ----------------
     y, ns["conv_input"] = subm_block_slab(

@@ -322,6 +322,10 @@ class WindowTables:
     kx: int
     vin: int
 
+    def conv(self, x: "Slab", weight, out: "Slab", kernel, chunk=None) -> "Slab":
+        """Uniform conv entry shared with span_conv.SpanPlan."""
+        return window_conv(x, weight, self, out, kernel, chunk=chunk)
+
 
 jax.tree_util.register_dataclass(
     WindowTables, data_fields=["wstart", "slotmap"], meta_fields=["kx", "vin"]

@@ -85,21 +85,18 @@ def fold_weights(weight, kx, G, kt, T, dtype):
 
 def _kernel(
     # scalar prefetch
-    sb_ref,  # (G, NB) int32 span starts
+    sb_ref,  # (G, NB) int32 span starts (16-aligned)
     gp_ref,  # (G, 2) int32 (ky_i, kz_i)
     # blocked inputs
-    ox_ref,  # (BS,) out x
-    oy_ref,
-    oz_ref,
-    ovalid_ref,  # (BS,) int32 1/0
+    site_ref,  # (1, 8, BS) int32: rows 0..3 = out x, y, z, valid
     wg_ref,  # (1, kx*TC, TO)
     # ANY inputs (manual DMA)
-    keys_ref,  # (Vin + SPAN,)
-    feats_ref,  # (Vin + SPAN, TC)
+    keys2_ref,  # (NR16, SPAN) int32: row r = keys[16r : 16r + SPAN]
+    feats_ref,  # (Vin + SPAN + 256, TC)
     # output
     out_ref,  # (BS, TO) f32
     # scratch
-    kscr,  # (SPAN,) int32
+    kscr,  # (8, SPAN) int32
     fscr,  # (SPAN, TC)
     sems,  # DMA (2,)
     *,
@@ -115,29 +112,40 @@ def _kernel(
     sx, sy, sz = stride3
     px, py, pz = pad3
 
-    s = sb_ref[g, b]
-    pltpu.make_async_copy(keys_ref.at[pl.ds(s, SPAN)], kscr, sems.at[0]).start()
+    r = sb_ref[g, b]  # span start in 16-row tile units
+    s = pl.multiple_of(r * 16, 16)  # feats offset (bf16/f32 tile-aligned)
+    r8 = pl.multiple_of((r // 8) * 8, 8)  # 8-row-aligned keys2 block
+    pltpu.make_async_copy(
+        keys2_ref.at[pl.ds(r8, 8), :], kscr, sems.at[0]
+    ).start()
     pltpu.make_async_copy(
         feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
     ).start()
 
     ky_i = gp_ref[g, 0]
     kz_i = gp_ref[g, 1]
-    ox = ox_ref[:]
-    oy = oy_ref[:]
-    oz = oz_ref[:]
+    ox = site_ref[0, 0, :]
+    oy = site_ref[0, 1, :]
+    oz = site_ref[0, 2, :]
     iy = oy * sy - py + ky_i
     iz = oz * sz - pz + kz_i
     xbase = ox * sx - px
     row_ok = (
-        (ovalid_ref[:] > 0)
+        (site_ref[0, 3, :] > 0)
         & (iy >= 0) & (iy < Y)
         & (iz >= 0) & (iz < Z)
     )
     q = (iz * Y + iy) * X + xbase  # (BS,) int32 window base key
 
-    pltpu.make_async_copy(keys_ref.at[pl.ds(s, SPAN)], kscr, sems.at[0]).wait()
-    kspan = kscr[:].reshape(1, SPAN)
+    pltpu.make_async_copy(
+        keys2_ref.at[pl.ds(r8, 8), :], kscr, sems.at[0]
+    ).wait()
+    # select the wanted key row from the 8-row aligned block
+    subl = jax.lax.broadcasted_iota(jnp.int32, (8, SPAN), 0)
+    kspan = jnp.sum(
+        jnp.where(subl == (r - (r // 8) * 8), kscr[:], 0),
+        axis=0, keepdims=True,
+    )  # (1, SPAN)
 
     # ranks r_c = #span keys < q + c  ->  presence / slot / window start
     qc = q[:, None]
@@ -152,28 +160,25 @@ def _kernel(
         feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
     ).wait()
 
-    # one-hot window extraction: win[i] = span rows l0[i] .. l0[i]+kx-1
+    # Direct aligned extraction: kernel x-position d's input row sits at
+    # span position ranks[d] when present (cell keys are consecutive ints,
+    # so rank_d jumps by exactly 1 there). One presence-gated one-hot
+    # matmul per d — the MXU does the gather AND the slot alignment.
     lane = jax.lax.broadcasted_iota(jnp.int32, (BS, SPAN), 1)
-    oh = (lane == l0[:, None]).astype(wg_ref.dtype)
     f = fscr[:]
-    bsh = jnp.concatenate(
-        [f] + [pltpu.roll(f, SPAN - d, axis=0) for d in range(1, kx)], axis=1
-    )  # (SPAN, kx*TC); wrapped tail rows are masked by presence below
-    win = jax.lax.dot_general(
-        oh, bsh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BS, kx*TC)
-
     parts = []
     for d in range(kx):
         present = ((ranks[d + 1] - ranks[d]) == 1) & row_ok
         present &= (xbase + d >= 0) & (xbase + d < X)
-        slot = ranks[d] - l0
-        sel = jnp.zeros((BS, TC), jnp.float32)
-        for w in range(kx):
-            m = present & (slot == w)
-            sel = jnp.where(m[:, None], win[:, w * TC : (w + 1) * TC], sel)
-        parts.append(sel)
+        oh = (
+            (lane == ranks[d][:, None]) & present[:, None]
+        ).astype(wg_ref.dtype)
+        parts.append(
+            jax.lax.dot_general(
+                oh, f, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
     src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
 
     contrib = jax.lax.dot_general(
@@ -265,12 +270,13 @@ def make_span_plan(
     lasts = block_q(ocoords[BS - 1 :: BS], ovalid[BS - 1 :: BS])
     n_iter = max(1, math.ceil(math.log2(Vin + 1)))
     sb = _bisect(x_keys, firsts, n_iter)  # (G, NB)
+    sb = sb // 16  # 16-row tile units (Mosaic DMA tile alignment)
     send = _bisect(
         x_keys,
         jnp.minimum(lasts, jnp.iinfo(jnp.int32).max - kx) + kx,
         n_iter,
     )
-    n_overflow = jnp.sum(jnp.maximum(send - sb - SPAN, 0))
+    n_overflow = jnp.sum(jnp.maximum(send - sb * 16 - SPAN, 0))
     gp = jnp.stack([ky, kz], axis=1)  # (G, 2)
     return SpanPlan(
         sb=sb, gp=gp, n_overflow=n_overflow,
@@ -307,12 +313,19 @@ def span_conv_apply(
     assert K == kx * G * kt
     TC = T * cin
     TO = T * cout
+    # lane-pad feature/output widths to the 128-lane DMA tiling; the
+    # hardware pads every array to 128 lanes anyway, this makes it explicit
+    TCP = -(-TC // 128) * 128
+    TOP = -(-TO // 128) * 128
     V = out_coords.shape[0]
     NB = -(-V // BS)
     Vp = NB * BS
 
     dtype = weight.dtype if weight.dtype == jnp.bfloat16 else jnp.float32
-    wg = fold_weights(weight, kx, G, kt, T, dtype)
+    wg = fold_weights(weight, kx, G, kt, T, dtype)  # (G, kx*TC, TO)
+    wg = jnp.pad(
+        wg.reshape(G, kx, TC, TO), ((0, 0), (0, 0), (0, TCP - TC), (0, TOP - TO))
+    ).reshape(G, kx * TCP, TOP)
 
     def padV(a, fill):
         return jnp.concatenate(
@@ -321,29 +334,47 @@ def span_conv_apply(
 
     ocoords = padV(out_coords, 0)
     ovalid = padV(out_valid.astype(jnp.int32), 0)
-    keys_pad = jnp.concatenate(
-        [x_keys, jnp.full((SPAN,), KEY_SENTINEL, jnp.int32)]
+    # keys2: 16-strided, SPAN-wide key windows (row r = keys[16r : 16r+SPAN])
+    # — a lane-major layout the DMA engine can slice at any 8-row offset
+    Vin = x_keys.shape[0]
+    nr16 = Vin // 16 + 17
+    kpad = jnp.concatenate(
+        [x_keys, jnp.full((nr16 * 16 + SPAN - Vin,), KEY_SENTINEL, jnp.int32)]
     )
+    keys2 = jnp.concatenate(
+        [kpad[j * 16 : j * 16 + nr16 * 16].reshape(nr16, 16) for j in range(SPAN // 16)],
+        axis=1,
+    )  # (nr16, SPAN)
     feats_pad = jnp.concatenate(
-        [x_feats.astype(dtype), jnp.zeros((SPAN, TC), dtype)]
+        [
+            jnp.pad(x_feats.astype(dtype), ((0, 0), (0, TCP - TC))),
+            jnp.zeros((SPAN + 16, TCP), dtype),
+        ]
     )
+
+    site_pack = jnp.stack(
+        [
+            ocoords[:, 0].reshape(NB, BS),
+            ocoords[:, 1].reshape(NB, BS),
+            ocoords[:, 2].reshape(NB, BS),
+            ovalid.reshape(NB, BS),
+        ] + [jnp.zeros((NB, BS), jnp.int32)] * 4,
+        axis=1,
+    )  # (NB, 8, BS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(NB, G),
         in_specs=[
-            pl.BlockSpec((BS,), lambda b, g, *_: (b,)),
-            pl.BlockSpec((BS,), lambda b, g, *_: (b,)),
-            pl.BlockSpec((BS,), lambda b, g, *_: (b,)),
-            pl.BlockSpec((BS,), lambda b, g, *_: (b,)),
-            pl.BlockSpec((1, kx * TC, TO), lambda b, g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, 8, BS), lambda b, g, *_: (b, 0, 0)),
+            pl.BlockSpec((1, kx * TCP, TOP), lambda b, g, *_: (g, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((BS, TO), lambda b, g, *_: (b, 0)),
+        out_specs=pl.BlockSpec((BS, TOP), lambda b, g, *_: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((SPAN,), jnp.int32),
-            pltpu.VMEM((SPAN, TC), dtype),
+            pltpu.VMEM((8, SPAN), jnp.int32),
+            pltpu.VMEM((SPAN, TCP), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -354,14 +385,14 @@ def span_conv_apply(
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Vp, TO), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Vp, TOP), jnp.float32),
         interpret=_interpret(),
     )(
         sb, gp,
-        ocoords[:, 0], ocoords[:, 1], ocoords[:, 2], ovalid,
-        wg, keys_pad, feats_pad,
+        site_pack,
+        wg, keys2, feats_pad,
     )
-    return out[:V]
+    return out[:V, :TO]
 
 
 def _interpret() -> bool:

@@ -117,3 +117,47 @@ def test_span_edge_sites():
     np.testing.assert_allclose(
         np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_model_span_vs_window_engine():
+    """Full-model parity: span (interpret) vs window engine, tiny config."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_model import tiny_config
+    from insmos_tpu.nn import InsMOSModel
+
+    cfg_w = tiny_config(window=3)
+    cfg_s = dataclasses.replace(
+        cfg_w, runtime=dataclasses.replace(cfg_w.runtime, sparse_engine="span")
+    )
+    # f32 compute so both engines accumulate identically-ish
+    cfg_w = dataclasses.replace(
+        cfg_w, runtime=dataclasses.replace(cfg_w.runtime, compute_dtype="float32", sparse_engine="window")
+    )
+    cfg_s = dataclasses.replace(
+        cfg_s, runtime=dataclasses.replace(cfg_s.runtime, compute_dtype="float32")
+    )
+
+    from insmos_tpu.data.synthetic import write_synthetic_sequence
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as root:
+        write_synthetic_sequence(root, seq=8, n_scans=4, seed=5, n_ground=500, n_per_obj=40)
+        from insmos_tpu.data.kitti import KittiWindowDataset
+        ds = KittiWindowDataset(cfg_w, "val", root_dir=root, sequences=[8])
+        sample = ds[0].arrays()
+
+    model_w = InsMOSModel(cfg_w)
+    model_s = InsMOSModel(cfg_s)
+    params, state = model_w.init(jax.random.PRNGKey(0))
+    out_w = jax.jit(lambda p, s, x: model_w.forward(p, s, x, train=False))(params, state, sample)
+    out_s = jax.jit(lambda p, s, x: model_s.forward(p, s, x, train=False))(params, state, sample)
+    assert int(np.asarray(out_s["overflow"]["span_overflow"]).sum()) == 0
+    np.testing.assert_allclose(
+        np.asarray(out_s["point_logits"]), np.asarray(out_w["point_logits"]),
+        atol=1e-3, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["boxes"]), np.asarray(out_w["boxes"]), atol=1e-3, rtol=1e-2
+    )
