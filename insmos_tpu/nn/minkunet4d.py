@@ -46,7 +46,14 @@ from ..sparse.slab import (
     window_tables,
 )
 from ..sparse.span_conv import make_span_plan, span_strided_occ
-
+from .blocks import init_basic_block, init_conv_bn
+from .blocks_slab import (
+    basic_block_slab,
+    cat_slab,
+    inverse_block_slab,
+    subm_block_slab,
+)
+from .layers import init_linear, mm
 
 def use_span_engine(cfg: Config, train: bool) -> bool:
     """Span (Pallas) engine for inference on accelerator backends; the XLA
@@ -57,14 +64,7 @@ def use_span_engine(cfg: Config, train: bool) -> bool:
     if mode == "span":
         return True
     return (not train) and jax.default_backend() != "cpu"
-from .blocks import init_basic_block, init_conv_bn
-from .blocks_slab import (
-    basic_block_slab,
-    cat_slab,
-    inverse_block_slab,
-    subm_block_slab,
-)
-from .layers import init_linear, mm
+
 
 _BN = {"momentum": 0.1, "eps": 1e-5}  # MinkowskiEngine BatchNorm defaults
 
@@ -162,7 +162,9 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
             tables["stem"] = (
                 make_span_plan(
                     s_in.keys, s_in.coords, s_in.valid, _K3_STEM,
-                    in_dims=dims[fin],
+                    in_dims=dims[fin], span=512,
+                    # 5x5 groups reach 2 rows out; dense ground rows need
+                    # the wide span (overflow 19k@256 / 13k@384 / ~0@512)
                 )
                 if span
                 else window_tables(
@@ -173,7 +175,8 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         tables[fin] = (
             make_span_plan(
                 s_in.keys, s_in.coords, s_in.valid, _K3_BLOCK,
-                in_dims=dims[fin],
+                in_dims=dims[fin], bs=256,
+                span=384 if fin <= 2 else 512,  # deeper rows are longer
             )
             if span
             else window_tables(
@@ -187,9 +190,11 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         stats["sites"].append(n_s)
         stats["dropped"].append(n_d)
         if span:
+            # strided: the monotone key interval includes the skipped
+            # in-between input rows (stride 2), so blocks must be small
             down_tables[fout] = make_span_plan(
                 s_in.keys, nxt.coords, nxt.valid, _K3_DOWN,
-                stride3=_S2, pad3=_P0, in_dims=dims[fin],
+                stride3=_S2, pad3=_P0, in_dims=dims[fin], bs=64, span=256,
             )
             nxt = span_strided_occ(s_in, down_tables[fout], nxt)
         else:
@@ -202,7 +207,10 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
     s8 = slabs[8]
     grid8 = site_grid(s8)
     tables[8] = (
-        make_span_plan(s8.keys, s8.coords, s8.valid, _K3_BLOCK, in_dims=dims[8])
+        make_span_plan(
+            s8.keys, s8.coords, s8.valid, _K3_BLOCK, in_dims=dims[8],
+            bs=256, span=512,
+        )
         if span
         else window_tables(
             grid8, dims[8], s8.coords, s8.valid, _K3_BLOCK, vin=s8.capacity

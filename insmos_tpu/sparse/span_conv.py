@@ -85,114 +85,195 @@ def fold_weights(weight, kx, G, kt, T, dtype):
 
 def _kernel(
     # scalar prefetch
-    sb_ref,  # (G, NB) int32 span starts (16-aligned)
+    sbse_ref,  # (G, NB) int32: bits 0..15 span start (16-row tile units),
+    # bits 16..30 span length in tiles (ceil) — packed to fit SMEM
     gp_ref,  # (G, 2) int32 (ky_i, kz_i)
     # blocked inputs
     site_ref,  # (1, 8, BS) int32: rows 0..3 = out x, y, z, valid
-    wg_ref,  # (1, kx*TC, TO)
+    wg_ref,  # (G, kx*TCP, TOP) folded group weights (whole array in VMEM)
     # ANY inputs (manual DMA)
     keys2_ref,  # (NR16, SPAN) int32: row r = keys[16r : 16r + SPAN]
-    feats_ref,  # (Vin + SPAN + 256, TC)
+    feats_ref,  # (Vin + SPAN + 16, TCP)
     # output
-    out_ref,  # (BS, TO) f32
-    # scratch
-    kscr,  # (8, SPAN) int32
-    fscr,  # (SPAN, TC)
-    sems,  # DMA (2,)
+    out_ref,  # (BS, TOP) f32
+    # scratch (double-buffered over the in-kernel group loop)
+    kscr,  # (2, 8, SPAN) int32 span1 keys
+    fscr,  # (2, SPAN, TCP) span1 feats
+    k2scr,  # (2, 8, SPAN) int32 tail-span keys
+    f2scr,  # (2, SPAN, TCP) tail-span feats
+    acc_scr,  # (BS, TOP) f32 accumulator
+    sems,  # DMA (2, 4)
     *,
     kx,
-    TC,
+    G,
+    span,
+    bs,
     in_dims,
     stride3,
     pad3,
 ):
+    BS = bs
     b = pl.program_id(0)
-    g = pl.program_id(1)
     X, Y, Z = in_dims
     sx, sy, sz = stride3
     px, py, pz = pad3
+    SPAN = span
 
-    r = sb_ref[g, b]  # span start in 16-row tile units
-    s = pl.multiple_of(r * 16, 16)  # feats offset (bf16/f32 tile-aligned)
-    r8 = pl.multiple_of((r // 8) * 8, 8)  # 8-row-aligned keys2 block
-    pltpu.make_async_copy(
-        keys2_ref.at[pl.ds(r8, 8), :], kscr, sems.at[0]
-    ).start()
-    pltpu.make_async_copy(
-        feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
-    ).start()
+    def _addrs(g):
+        packed = sbse_ref[g, b]
+        r = packed & 0xFFFF
+        se = r + jax.lax.shift_right_logical(packed, 16)
+        s2 = jnp.maximum(se - SPAN // 16, r)
+        return r, se, s2
 
-    ky_i = gp_ref[g, 0]
-    kz_i = gp_ref[g, 1]
+    def start_dma(g, slot):
+        r, se, s2 = _addrs(g)
+        s = pl.multiple_of(r * 16, 16)
+        r8 = pl.multiple_of((r // 8) * 8, 8)
+        pltpu.make_async_copy(
+            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            feats_ref.at[pl.ds(s, SPAN), :], fscr.at[slot], sems.at[slot, 1]
+        ).start()
+        # tail span (see below): fetched unconditionally so DMA semantics
+        # stay branch-free; it overlaps span1 when there is no jump
+        s2s = pl.multiple_of(s2 * 16, 16)
+        s2r8 = pl.multiple_of((s2 // 8) * 8, 8)
+        pltpu.make_async_copy(
+            keys2_ref.at[pl.ds(s2r8, 8), :], k2scr.at[slot], sems.at[slot, 2]
+        ).start()
+        pltpu.make_async_copy(
+            feats_ref.at[pl.ds(s2s, SPAN), :], f2scr.at[slot], sems.at[slot, 3]
+        ).start()
+
+    start_dma(0, 0)
+
     ox = site_ref[0, 0, :]
     oy = site_ref[0, 1, :]
     oz = site_ref[0, 2, :]
-    iy = oy * sy - py + ky_i
-    iz = oz * sz - pz + kz_i
+    ovalid = site_ref[0, 3, :] > 0
     xbase = ox * sx - px
-    row_ok = (
-        (site_ref[0, 3, :] > 0)
-        & (iy >= 0) & (iy < Y)
-        & (iz >= 0) & (iz < Z)
-    )
-    q = (iz * Y + iy) * X + xbase  # (BS,) int32 window base key
-
-    pltpu.make_async_copy(
-        keys2_ref.at[pl.ds(r8, 8), :], kscr, sems.at[0]
-    ).wait()
-    # select the wanted key row from the 8-row aligned block
     subl = jax.lax.broadcasted_iota(jnp.int32, (8, SPAN), 0)
-    kspan = jnp.sum(
-        jnp.where(subl == (r - (r // 8) * 8), kscr[:], 0),
-        axis=0, keepdims=True,
-    )  # (1, SPAN)
-
-    # ranks r_c = #span keys < q + c  ->  presence / slot / window start
-    qc = q[:, None]
-    ranks = []
-    for c in range(kx + 1):
-        ranks.append(
-            jnp.sum((kspan < qc + c).astype(jnp.int32), axis=1)
-        )  # (BS,)
-    l0 = ranks[0]
-
-    pltpu.make_async_copy(
-        feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
-    ).wait()
-
-    # Direct aligned extraction: kernel x-position d's input row sits at
-    # span position ranks[d] when present (cell keys are consecutive ints,
-    # so rank_d jumps by exactly 1 there). One presence-gated one-hot
-    # matmul per d — the MXU does the gather AND the slot alignment.
     lane = jax.lax.broadcasted_iota(jnp.int32, (BS, SPAN), 1)
-    f = fscr[:]
-    parts = []
-    for d in range(kx):
-        present = ((ranks[d + 1] - ranks[d]) == 1) & row_ok
-        present &= (xbase + d >= 0) & (xbase + d < X)
-        oh = (
-            (lane == ranks[d][:, None]) & present[:, None]
-        ).astype(wg_ref.dtype)
-        parts.append(
-            jax.lax.dot_general(
-                oh, f, (((1,), (0,)), ((), ())),
+
+    def g_body(g, acc):
+        slot = jax.lax.rem(g, 2)
+        r, se, s2 = _addrs(g)
+        s = pl.multiple_of(r * 16, 16)
+        r8 = pl.multiple_of((r // 8) * 8, 8)
+        s2s = pl.multiple_of(s2 * 16, 16)
+        s2r8 = pl.multiple_of((s2 // 8) * 8, 8)
+        pltpu.make_async_copy(
+            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            feats_ref.at[pl.ds(s, SPAN), :], fscr.at[slot], sems.at[slot, 1]
+        ).wait()
+        pltpu.make_async_copy(
+            keys2_ref.at[pl.ds(s2r8, 8), :], k2scr.at[slot], sems.at[slot, 2]
+        ).wait()
+        pltpu.make_async_copy(
+            feats_ref.at[pl.ds(s2s, SPAN), :], f2scr.at[slot], sems.at[slot, 3]
+        ).wait()
+        kblock = kscr[slot]
+        f = fscr[slot]
+
+        @pl.when(g + 1 < G)
+        def _():
+            start_dma(g + 1, 1 - slot)
+
+        ky_i = gp_ref[g, 0]
+        kz_i = gp_ref[g, 1]
+        iy = oy * sy - py + ky_i
+        iz = oz * sz - pz + kz_i
+        row_ok = ovalid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
+        q = (iz * Y + iy) * X + xbase  # (BS,) window base key
+
+        # select the wanted key row from the 8-row aligned block
+        kspan = jnp.sum(
+            jnp.where(subl == (r - (r // 8) * 8), kblock, 0),
+            axis=0, keepdims=True,
+        )  # (1, SPAN)
+
+        # ranks r_c = #span keys < q + c -> presence / aligned position
+        qc = q[:, None]
+        ranks = [
+            jnp.sum((kspan < qc + c).astype(jnp.int32), axis=1)
+            for c in range(kx + 1)
+        ]
+
+        # Direct aligned extraction: kernel x-position d's input row sits
+        # at span position ranks[d] when present (cell keys are
+        # consecutive ints, so rank_d jumps by exactly 1 there). One
+        # presence-gated one-hot MXU matmul per d does the gather AND the
+        # slot alignment. (ranks >= SPAN naturally select nothing.)
+        xok = [
+            (xbase + d >= 0) & (xbase + d < X) & row_ok for d in range(kx)
+        ]
+        parts = []
+        for d in range(kx):
+            present = ((ranks[d + 1] - ranks[d]) == 1) & xok[d]
+            oh = (
+                (lane == ranks[d][:, None]) & present[:, None]
+            ).astype(wg_ref.dtype)
+            parts.append(
+                jax.lax.dot_general(
+                    oh, f, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
+        w_g = wg_ref[g]
+        acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+            src, w_g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # RARE second span: a block whose key interval includes a large
+        # skipped region (e.g. a z-slab jump in a strided conv) re-anchors
+        # a tail fetch at the interval END; cells beyond span1's coverage
+        # are picked up there. ~0.1-1% of blocks on coherent windows; the
+        # compute is skipped elsewhere (the fetch is branch-free above).
+        @pl.when((se - r) * 16 > SPAN)
+        def tail():
+            k2 = jnp.sum(
+                jnp.where(subl == (s2 - (s2 // 8) * 8), k2scr[slot], 0),
+                axis=0, keepdims=True,
+            )
+            f2 = f2scr[slot]
+            ranks2 = [
+                jnp.sum((k2 < qc + c).astype(jnp.int32), axis=1)
+                for c in range(kx + 1)
+            ]
+            # exclude cells already covered by span1: global position
+            # s2*16 + rank2 must be >= r*16 + SPAN
+            thresh = r * 16 + SPAN - s2 * 16
+            parts2 = []
+            for d in range(kx):
+                present = ((ranks2[d + 1] - ranks2[d]) == 1) & xok[d]
+                present &= ranks2[d] >= thresh
+                oh2 = (
+                    (lane == ranks2[d][:, None]) & present[:, None]
+                ).astype(wg_ref.dtype)
+                parts2.append(
+                    jax.lax.dot_general(
+                        oh2, f2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            src2 = jnp.concatenate(parts2, axis=1).astype(wg_ref.dtype)
+            acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+                src2, w_g, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        )
-    src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
 
-    contrib = jax.lax.dot_general(
-        src, wg_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BS, TO)
+        return acc
 
-    @pl.when(g == 0)
-    def _():
-        out_ref[:] = contrib
-
-    @pl.when(g > 0)
-    def _():
-        out_ref[:] = out_ref[:] + contrib
+    TOP = out_ref.shape[-1]
+    acc_scr[:] = jnp.zeros((BS, TOP), jnp.float32)
+    jax.lax.fori_loop(0, G, g_body, 0)
+    out_ref[:] = acc_scr[:]
 
 
 @jax.tree_util.register_dataclass
@@ -203,28 +284,32 @@ class SpanPlan:
     same geometry on the same site sets (e.g. both convs of a residual
     block)."""
 
-    sb: jax.Array  # (G, NB) int32 span starts into the input site array
+    sb: jax.Array  # (G, NB) int32 span starts (16-row tile units)
+    se: jax.Array  # (G, NB) int32 span ends (16-row tile units, ceil)
     gp: jax.Array  # (G, 2) int32 (ky_i, kz_i)
-    n_overflow: jax.Array  # () int32 rows whose true span exceeded SPAN
+    n_overflow: jax.Array  # () int32 rows beyond even the dual-span cover
     kernel3: tuple = dataclasses.field(metadata={"static": True})
     stride3: tuple = dataclasses.field(metadata={"static": True})
     pad3: tuple = dataclasses.field(metadata={"static": True})
     in_dims: tuple = dataclasses.field(metadata={"static": True})
+    span: int = dataclasses.field(default=SPAN, metadata={"static": True})
+    bs: int = dataclasses.field(default=BS, metadata={"static": True})
 
     def conv(self, x: Slab, weight, out: Slab, kernel, chunk=None) -> Slab:
         """window_conv-compatible entry (chunk ignored)."""
         kt = kernel[3] if len(kernel) == 4 else 1
         feats = span_conv_apply(
             x.keys, x.mask_feats(), out.coords, out.valid, weight,
-            self.sb, self.gp, x.T, self.kernel3, kt,
-            self.stride3, self.pad3, self.in_dims,
+            self.sb, self.se, self.gp, x.T, self.kernel3, kt,
+            self.stride3, self.pad3, self.in_dims, self.span, self.bs,
         )
         res = out.replace_feats(feats)
         return res.replace_feats(res.mask_feats())
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel3", "stride3", "pad3", "in_dims")
+    jax.jit,
+    static_argnames=("kernel3", "stride3", "pad3", "in_dims", "span", "bs"),
 )
 def make_span_plan(
     x_keys,  # (Vin,) int32 sorted input site keys
@@ -234,6 +319,8 @@ def make_span_plan(
     stride3=(1, 1, 1),
     pad3=None,
     in_dims=None,
+    span: int = SPAN,
+    bs: int = BS,
 ) -> SpanPlan:
     """Compute per-(group, block) span starts by bisection over the sorted
     input keys, plus span-overflow accounting from each block's last site."""
@@ -243,8 +330,8 @@ def make_span_plan(
     groups = _groups_yz(kernel3)
     V = out_coords.shape[0]
     Vin = x_keys.shape[0]
-    NB = -(-V // BS)
-    Vp = NB * BS
+    NB = -(-V // bs)
+    Vp = NB * bs
 
     def padV(a, fill):
         return jnp.concatenate(
@@ -266,28 +353,35 @@ def make_span_plan(
         q = (iz * Y + iy) * X + (c3[:, 0] * sx - px)[None]
         return jnp.where(v[None] > 0, q, jnp.iinfo(jnp.int32).max)  # (G, NB)
 
-    firsts = block_q(ocoords[::BS], ovalid[::BS])
-    lasts = block_q(ocoords[BS - 1 :: BS], ovalid[BS - 1 :: BS])
+    firsts = block_q(ocoords[::bs], ovalid[::bs])
+    # last VALID query per block (partial blocks must not count their
+    # padding tail as overflow)
+    iy_all = ocoords[:, 1] * sy - py + ky[:, None]
+    iz_all = ocoords[:, 2] * sz - pz + kz[:, None]
+    q_all = (iz_all * Y + iy_all) * X + (ocoords[:, 0] * sx - px)[None]
+    q_all = jnp.where(ovalid[None] > 0, q_all, -1)
+    lasts = q_all.reshape(-1, NB, bs).max(axis=-1)  # (G, NB)
     n_iter = max(1, math.ceil(math.log2(Vin + 1)))
     sb = _bisect(x_keys, firsts, n_iter)  # (G, NB)
     sb = sb // 16  # 16-row tile units (Mosaic DMA tile alignment)
-    send = _bisect(
-        x_keys,
-        jnp.minimum(lasts, jnp.iinfo(jnp.int32).max - kx) + kx,
-        n_iter,
-    )
-    n_overflow = jnp.sum(jnp.maximum(send - sb * 16 - SPAN, 0))
+    send = _bisect(x_keys, lasts + kx, n_iter)
+    se = -(-send // 16)
+    # the kernel covers [sb*16, sb*16+span) plus, for jump blocks, a tail
+    # window [se*16-span, se*16); only rows beyond BOTH count as overflow
+    n_overflow = jnp.sum(jnp.maximum(send - sb * 16 - 2 * span, 0))
     gp = jnp.stack([ky, kz], axis=1)  # (G, 2)
     return SpanPlan(
-        sb=sb, gp=gp, n_overflow=n_overflow,
+        sb=sb, se=se, gp=gp, n_overflow=n_overflow,
         kernel3=tuple(kernel3), stride3=tuple(stride3), pad3=tuple(pad3),
-        in_dims=tuple(in_dims),
+        in_dims=tuple(in_dims), span=span, bs=bs,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "kernel3", "kt", "stride3", "pad3", "in_dims"),
+    static_argnames=(
+        "T", "kernel3", "kt", "stride3", "pad3", "in_dims", "span", "bs",
+    ),
 )
 def span_conv_apply(
     x_keys,  # (Vin,) int32 sorted input site keys
@@ -296,6 +390,7 @@ def span_conv_apply(
     out_valid,  # (V,)
     weight,  # (K, cin, cout)
     sb,  # (G, NB) from make_span_plan
+    se,  # (G, NB)
     gp,  # (G, 2)
     T: int,
     kernel3,
@@ -303,6 +398,8 @@ def span_conv_apply(
     stride3=(1, 1, 1),
     pad3=None,
     in_dims=None,
+    span: int = SPAN,
+    bs: int = BS,
 ):
     """Run the span kernel with a precomputed plan. Returns out_feats
     (V, T*cout) f32."""
@@ -318,8 +415,8 @@ def span_conv_apply(
     TCP = -(-TC // 128) * 128
     TOP = -(-TO // 128) * 128
     V = out_coords.shape[0]
-    NB = -(-V // BS)
-    Vp = NB * BS
+    NB = -(-V // bs)
+    Vp = NB * bs
 
     dtype = weight.dtype if weight.dtype == jnp.bfloat16 else jnp.float32
     wg = fold_weights(weight, kx, G, kt, T, dtype)  # (G, kx*TC, TO)
@@ -334,53 +431,59 @@ def span_conv_apply(
 
     ocoords = padV(out_coords, 0)
     ovalid = padV(out_valid.astype(jnp.int32), 0)
-    # keys2: 16-strided, SPAN-wide key windows (row r = keys[16r : 16r+SPAN])
+    # keys2: 16-strided, span-wide key windows (row r = keys[16r : 16r+span])
     # — a lane-major layout the DMA engine can slice at any 8-row offset
     Vin = x_keys.shape[0]
     nr16 = Vin // 16 + 17
     kpad = jnp.concatenate(
-        [x_keys, jnp.full((nr16 * 16 + SPAN - Vin,), KEY_SENTINEL, jnp.int32)]
+        [x_keys, jnp.full((nr16 * 16 + span - Vin,), KEY_SENTINEL, jnp.int32)]
     )
     keys2 = jnp.concatenate(
-        [kpad[j * 16 : j * 16 + nr16 * 16].reshape(nr16, 16) for j in range(SPAN // 16)],
+        [kpad[j * 16 : j * 16 + nr16 * 16].reshape(nr16, 16) for j in range(span // 16)],
         axis=1,
-    )  # (nr16, SPAN)
+    )  # (nr16, span)
     feats_pad = jnp.concatenate(
         [
             jnp.pad(x_feats.astype(dtype), ((0, 0), (0, TCP - TC))),
-            jnp.zeros((SPAN + 16, TCP), dtype),
+            jnp.zeros((span + 16, TCP), dtype),
         ]
     )
 
     site_pack = jnp.stack(
         [
-            ocoords[:, 0].reshape(NB, BS),
-            ocoords[:, 1].reshape(NB, BS),
-            ocoords[:, 2].reshape(NB, BS),
-            ovalid.reshape(NB, BS),
-        ] + [jnp.zeros((NB, BS), jnp.int32)] * 4,
+            ocoords[:, 0].reshape(NB, bs),
+            ocoords[:, 1].reshape(NB, bs),
+            ocoords[:, 2].reshape(NB, bs),
+            ovalid.reshape(NB, bs),
+        ] + [jnp.zeros((NB, bs), jnp.int32)] * 4,
         axis=1,
-    )  # (NB, 8, BS)
+    )  # (NB, 8, bs)
+
+    sbse = sb | jnp.minimum(se - sb, 0x7FFF) << 16
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(NB, G),
+        grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, 8, BS), lambda b, g, *_: (b, 0, 0)),
-            pl.BlockSpec((1, kx * TCP, TOP), lambda b, g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, 8, bs), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((G, kx * TCP, TOP), lambda b, *_: (0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((BS, TOP), lambda b, g, *_: (b, 0)),
+        out_specs=pl.BlockSpec((bs, TOP), lambda b, *_: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((8, SPAN), jnp.int32),
-            pltpu.VMEM((SPAN, TCP), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 8, span), jnp.int32),
+            pltpu.VMEM((2, span, TCP), dtype),
+            pltpu.VMEM((2, 8, span), jnp.int32),
+            pltpu.VMEM((2, span, TCP), dtype),
+            pltpu.VMEM((bs, TOP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
 
     kern = functools.partial(
-        _kernel, kx=kx, TC=TC, in_dims=in_dims, stride3=stride3, pad3=pad3
+        _kernel, kx=kx, G=G, span=span, bs=bs, in_dims=in_dims,
+        stride3=stride3, pad3=pad3,
     )
     out = pl.pallas_call(
         kern,
@@ -388,7 +491,7 @@ def span_conv_apply(
         out_shape=jax.ShapeDtypeStruct((Vp, TOP), jnp.float32),
         interpret=_interpret(),
     )(
-        sb, gp,
+        sbse, gp,
         site_pack,
         wg, keys2, feats_pad,
     )
@@ -430,8 +533,8 @@ def span_strided_occ(x: Slab, plan: SpanPlan, out: Slab) -> Slab:
     ones = jnp.ones((K, 1, 1), jnp.float32)
     acc = span_conv_apply(
         x.keys, occ_feats, out.coords, out.valid, ones,
-        plan.sb, plan.gp, x.T, kernel3, 1,
-        plan.stride3, plan.pad3, plan.in_dims,
+        plan.sb, plan.se, plan.gp, x.T, kernel3, 1,
+        plan.stride3, plan.pad3, plan.in_dims, plan.span, plan.bs,
     )  # (V, T)
     occ = (acc > 0.5) & out.valid[:, None]
     return Slab(out.keys, out.coords, occ, out.feats, out.valid, out.dims, out.T)

@@ -161,3 +161,44 @@ def test_model_span_vs_window_engine():
     np.testing.assert_allclose(
         np.asarray(out_s["boxes"]), np.asarray(out_w["boxes"]), atol=1e-3, rtol=1e-2
     )
+
+
+def test_span_dual_tail_strided_dense():
+    """Dense strided conv: out-block key intervals include skipped
+    interleaved rows, forcing the rare second-span tail fetch."""
+    rng = np.random.default_rng(9)
+    cin, cout = 3, 4
+    slab = _random_slab(rng, 2600, 2048, cin)
+    kernel = (2, 2, 2, 1)
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32)) * 0.2
+    dims2 = tuple(-(-d // 2) for d in DIMS3)
+    out, _, n_drop = derive_strided_sites(
+        slab, (2, 2, 2), (2, 2, 2), (0, 0, 0), dims2, 1024
+    )
+    assert int(n_drop) == 0
+    grid = site_grid(slab)
+    tbl = window_tables(
+        grid, DIMS3, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), vin=slab.capacity,
+    )
+    ref = window_conv(slab, w, tbl, out, kernel)
+
+    from insmos_tpu.sparse.span_conv import make_span_plan
+    # pick a span that SOME blocks exceed (tail path runs) but whose dual
+    # cover suffices for all
+    probe = make_span_plan(
+        slab.keys, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
+    )
+    need = (np.asarray(probe.se) - np.asarray(probe.sb)) * 16
+    span = int(-(-(need.max() // 2) // 16) * 16 + 16)
+    assert (need > span).any(), "test setup: no block needed the tail"
+    plan = make_span_plan(
+        slab.keys, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=span, bs=64,
+    )
+    assert int(plan.n_overflow) == 0  # dual cover suffices
+    got = plan.conv(slab, w, out, kernel)
+    np.testing.assert_allclose(
+        np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
+    )
