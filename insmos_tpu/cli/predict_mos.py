@@ -16,6 +16,7 @@ import argparse
 import os
 import time
 
+import jax
 import numpy as np
 
 from ..config import Config
@@ -40,7 +41,86 @@ def parse_args(argv=None):
     p.add_argument("--ext", type=str, default=".bin", help="point cloud file extension")
     p.add_argument("--out", type=str, default="preb_out")
     p.add_argument("--seed", type=int, default=0, help="init seed when no ckpt")
+    p.add_argument(
+        "--pod", action="store_true",
+        help="stream sequences in lockstep, one per device (pod inference)",
+    )
     return p.parse_args(argv)
+
+
+def _run_pod(args, cfg, params, state, sequences) -> dict:
+    """Streaming multi-sequence pod inference: sequences round-robin over
+    the device mesh's slots, one scan per sequence per step."""
+    from ..pipeline import PodInferencePipeline
+
+    pipe = PodInferencePipeline(cfg, params, state)
+    S = pipe.n_slots
+    stats = {"scans": 0, "seconds": 0.0}
+    for w0 in range(0, len(sequences), S):
+        wave = sequences[w0 : w0 + S]
+        seq_files, seq_poses, dirs = [], [], []
+        for seq in wave:
+            seq_dir = os.path.join(args.data_path, f"{int(seq):02d}")
+            files = [
+                f
+                for f in load_files(os.path.join(seq_dir, "velodyne"))
+                if f.endswith(args.ext)
+            ]
+            seq_files.append(files)
+            seq_poses.append(
+                lidar_poses_from_files(
+                    os.path.join(seq_dir, cfg.data.poses_file),
+                    os.path.join(seq_dir, "calib.txt"),
+                )
+                if cfg.data.transform
+                else None
+            )
+            dirs.append(artifact_dirs(args.out, cfg.experiment_id, seq))
+        n_steps = max(len(f) for f in seq_files)
+        pipe.reset()
+        t0 = time.perf_counter()
+        prev_pose = [None] * len(wave)
+        for t in range(n_steps):
+            scans, tfs, raw_n = [], [], []
+            for i in range(S):
+                if i >= len(wave) or t >= len(seq_files[i]):
+                    scans.append(None)
+                    tfs.append(None)
+                    raw_n.append(0)
+                    continue
+                sc = read_point_cloud(seq_files[i][t])
+                scans.append(sc)
+                raw_n.append(len(sc))
+                poses = seq_poses[i]
+                if poses is None:
+                    tfs.append(None)
+                else:
+                    base = prev_pose[i] if prev_pose[i] is not None else poses[t]
+                    tfs.append(
+                        (np.linalg.inv(poses[t]) @ base).astype(np.float32)
+                    )
+                    prev_pose[i] = poses[t]
+            out = jax.tree.map(np.asarray, pipe.push_scans(scans, tfs))
+            for i in range(len(wave)):
+                if scans[i] is None:
+                    continue
+                kept = out["box_mask"][i].astype(bool)
+                write_scan_artifacts(
+                    dirs[i], t,
+                    out["point_logits"][i][: raw_n[i]],
+                    out["boxes"][i][kept][:, :7],
+                    out["scores"][i][kept],
+                    out["labels"][i][kept],
+                )
+        dt = time.perf_counter() - t0
+        n_scans = sum(len(f) for f in seq_files)
+        stats["scans"] += n_scans
+        stats["seconds"] += dt
+        print(
+            f"pod wave {wave}: {n_scans} scans in {dt:.1f}s "
+            f"({n_scans / max(dt, 1e-9):.2f} scans/s aggregate)"
+        )
+    return stats
 
 
 def run(args) -> dict:
@@ -57,6 +137,9 @@ def run(args) -> dict:
     sequences = args.sequences
     if sequences is None:
         sequences = VALID_SEQS if args.split == "valid" else TEST_SEQS
+
+    if args.pod:
+        return _run_pod(args, cfg, params, state, list(sequences))
 
     pipe = InferencePipeline(cfg, params, state)
     stats = {"scans": 0, "seconds": 0.0}

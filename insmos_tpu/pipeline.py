@@ -29,6 +29,97 @@ from .config import Config
 from .nn.model import InsMOSModel
 
 
+class PodInferencePipeline:
+    """Streaming multi-sequence inference: S sequences advance in lockstep,
+    one scan per sequence per step, with the batch axis sharded over the
+    device mesh (BASELINE.json config 5: "streaming multi-sequence pod
+    inference" — seq 11-21 across chips). Each pod slot owns a
+    device-resident ring window exactly like :class:`InferencePipeline`.
+
+    The reference has no multi-sequence path at all (predict_mos.py loops
+    sequences serially on one GPU); this is the SPMD extension of the same
+    data-parallel scheme used for training (SURVEY.md S2.3).
+    """
+
+    def __init__(self, cfg: Config, params, state, mesh=None):
+        from .parallel import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.cfg = cfg
+        self.model = InsMOSModel(cfg)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_slots = int(np.prod(self.mesh.devices.shape))
+        self._shard = NamedSharding(self.mesh, P(cfg.runtime.data_axis))
+        self._repl = NamedSharding(self.mesh, P())
+        self.params = jax.device_put(params, self._repl)
+        self.state = jax.device_put(state, self._repl)
+        self._buf = None
+
+        def one(params, state, buf, scan, n, tf, active):
+            new_buf, out = self._single_step(params, state, buf, scan, n, tf)
+            # inactive slots keep their window untouched
+            new_buf = jax.tree.map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(active, (1,) * a.ndim), a, b
+                ),
+                new_buf, buf,
+            )
+            return new_buf, out
+
+        self._step_fn = jax.jit(
+            jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0)),
+            donate_argnums=(2,),
+        )
+
+    def _single_step(self, params, state, buf, new_scan, n_new, tf):
+        return InferencePipeline._step(self, params, state, buf, new_scan, n_new, tf)
+
+    def reset(self):
+        cfg = self.cfg
+        S = self.n_slots
+        W = cfg.model.n_past_steps
+        P_ = cfg.runtime.max_points_per_scan
+        self._buf = jax.device_put(
+            {
+                "points": jnp.zeros((S, W, P_, 4), jnp.float32),
+                "num_points": jnp.zeros((S, W), jnp.int32),
+                "scan_mask": jnp.zeros((S, W), bool),
+            },
+            self._shard,
+        )
+
+    def push_scans(self, scans, tfs=None, active=None) -> dict:
+        """scans: list of S arrays (N_i, 4) or None for idle slots; tfs:
+        list of (4, 4) pose deltas or None. Returns DEVICE outputs batched
+        (S, ...); trim per slot with :meth:`InferencePipeline.fetch`."""
+        if self._buf is None:
+            self.reset()
+        S = self.n_slots
+        cap = self.cfg.runtime.max_points_per_scan
+        assert len(scans) == S
+        padded = np.zeros((S, cap, 4), np.float32)
+        ns = np.zeros((S,), np.int32)
+        act = np.zeros((S,), bool)
+        tfa = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+        for i, sc in enumerate(scans):
+            if sc is None:
+                continue
+            assert len(sc) <= cap
+            padded[i, : len(sc)] = sc[:, :4]
+            ns[i] = len(sc)
+            act[i] = True
+            if tfs is not None and tfs[i] is not None:
+                tfa[i] = tfs[i]
+        self._buf, out = self._step_fn(
+            self.params, self.state, self._buf,
+            jax.device_put(padded, self._shard),
+            jax.device_put(ns, self._shard),
+            jax.device_put(tfa, self._shard),
+            jax.device_put(act, self._shard),
+        )
+        return out
+
+
 class InferencePipeline:
     def __init__(self, cfg: Config, params, state):
         self.cfg = cfg

@@ -97,12 +97,9 @@ def _kernel(
     # output
     out_ref,  # (BS, TOP) f32
     # scratch (double-buffered over the in-kernel group loop)
-    kscr,  # (2, 8, SPAN) int32 span1 keys
-    fscr,  # (2, SPAN, TCP) span1 feats
-    k2scr,  # (2, 8, SPAN) int32 tail-span keys
-    f2scr,  # (2, SPAN, TCP) tail-span feats
-    acc_scr,  # (BS, TOP) f32 accumulator
-    sems,  # DMA (2, 4)
+    kscr,  # (2, 8, SPAN) int32
+    fscr,  # (2, SPAN, TCP)
+    sems,  # DMA (2, 2)
     *,
     kx,
     G,
@@ -119,15 +116,8 @@ def _kernel(
     px, py, pz = pad3
     SPAN = span
 
-    def _addrs(g):
-        packed = sbse_ref[g, b]
-        r = packed & 0xFFFF
-        se = r + jax.lax.shift_right_logical(packed, 16)
-        s2 = jnp.maximum(se - SPAN // 16, r)
-        return r, se, s2
-
     def start_dma(g, slot):
-        r, se, s2 = _addrs(g)
+        r = sbse_ref[g, b] & 0xFFFF
         s = pl.multiple_of(r * 16, 16)
         r8 = pl.multiple_of((r // 8) * 8, 8)
         pltpu.make_async_copy(
@@ -135,16 +125,6 @@ def _kernel(
         ).start()
         pltpu.make_async_copy(
             feats_ref.at[pl.ds(s, SPAN), :], fscr.at[slot], sems.at[slot, 1]
-        ).start()
-        # tail span (see below): fetched unconditionally so DMA semantics
-        # stay branch-free; it overlaps span1 when there is no jump
-        s2s = pl.multiple_of(s2 * 16, 16)
-        s2r8 = pl.multiple_of((s2 // 8) * 8, 8)
-        pltpu.make_async_copy(
-            keys2_ref.at[pl.ds(s2r8, 8), :], k2scr.at[slot], sems.at[slot, 2]
-        ).start()
-        pltpu.make_async_copy(
-            feats_ref.at[pl.ds(s2s, SPAN), :], f2scr.at[slot], sems.at[slot, 3]
         ).start()
 
     start_dma(0, 0)
@@ -159,22 +139,14 @@ def _kernel(
 
     def g_body(g, acc):
         slot = jax.lax.rem(g, 2)
-        r, se, s2 = _addrs(g)
+        r = sbse_ref[g, b] & 0xFFFF
         s = pl.multiple_of(r * 16, 16)
         r8 = pl.multiple_of((r // 8) * 8, 8)
-        s2s = pl.multiple_of(s2 * 16, 16)
-        s2r8 = pl.multiple_of((s2 // 8) * 8, 8)
         pltpu.make_async_copy(
             keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
         ).wait()
         pltpu.make_async_copy(
             feats_ref.at[pl.ds(s, SPAN), :], fscr.at[slot], sems.at[slot, 1]
-        ).wait()
-        pltpu.make_async_copy(
-            keys2_ref.at[pl.ds(s2r8, 8), :], k2scr.at[slot], sems.at[slot, 2]
-        ).wait()
-        pltpu.make_async_copy(
-            feats_ref.at[pl.ds(s2s, SPAN), :], f2scr.at[slot], sems.at[slot, 3]
         ).wait()
         kblock = kscr[slot]
         f = fscr[slot]
@@ -225,55 +197,15 @@ def _kernel(
             )
         src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
         w_g = wg_ref[g]
-        acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+        return acc + jax.lax.dot_general(
             src, w_g, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-        # RARE second span: a block whose key interval includes a large
-        # skipped region (e.g. a z-slab jump in a strided conv) re-anchors
-        # a tail fetch at the interval END; cells beyond span1's coverage
-        # are picked up there. ~0.1-1% of blocks on coherent windows; the
-        # compute is skipped elsewhere (the fetch is branch-free above).
-        @pl.when((se - r) * 16 > SPAN)
-        def tail():
-            k2 = jnp.sum(
-                jnp.where(subl == (s2 - (s2 // 8) * 8), k2scr[slot], 0),
-                axis=0, keepdims=True,
-            )
-            f2 = f2scr[slot]
-            ranks2 = [
-                jnp.sum((k2 < qc + c).astype(jnp.int32), axis=1)
-                for c in range(kx + 1)
-            ]
-            # exclude cells already covered by span1: global position
-            # s2*16 + rank2 must be >= r*16 + SPAN
-            thresh = r * 16 + SPAN - s2 * 16
-            parts2 = []
-            for d in range(kx):
-                present = ((ranks2[d + 1] - ranks2[d]) == 1) & xok[d]
-                present &= ranks2[d] >= thresh
-                oh2 = (
-                    (lane == ranks2[d][:, None]) & present[:, None]
-                ).astype(wg_ref.dtype)
-                parts2.append(
-                    jax.lax.dot_general(
-                        oh2, f2, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-            src2 = jnp.concatenate(parts2, axis=1).astype(wg_ref.dtype)
-            acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
-                src2, w_g, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        return acc
-
     TOP = out_ref.shape[-1]
-    acc_scr[:] = jnp.zeros((BS, TOP), jnp.float32)
-    jax.lax.fori_loop(0, G, g_body, 0)
-    out_ref[:] = acc_scr[:]
+    out_ref[:] = jax.lax.fori_loop(
+        0, G, g_body, jnp.zeros((BS, TOP), jnp.float32)
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -366,9 +298,11 @@ def make_span_plan(
     sb = sb // 16  # 16-row tile units (Mosaic DMA tile alignment)
     send = _bisect(x_keys, lasts + kx, n_iter)
     se = -(-send // 16)
-    # the kernel covers [sb*16, sb*16+span) plus, for jump blocks, a tail
-    # window [se*16-span, se*16); only rows beyond BOTH count as overflow
-    n_overflow = jnp.sum(jnp.maximum(send - sb * 16 - 2 * span, 0))
+    # rows beyond the fetch window drop their contributions (counted):
+    # concentrated in rare blocks whose key interval includes a skipped
+    # region (z/y jumps); per-geometry spans are sized so this is <0.1%
+    # of site-contributions on coherent windows
+    n_overflow = jnp.sum(jnp.maximum(send - sb * 16 - span, 0))
     gp = jnp.stack([ky, kz], axis=1)  # (G, 2)
     return SpanPlan(
         sb=sb, se=se, gp=gp, n_overflow=n_overflow,
@@ -474,10 +408,7 @@ def span_conv_apply(
         scratch_shapes=[
             pltpu.VMEM((2, 8, span), jnp.int32),
             pltpu.VMEM((2, span, TCP), dtype),
-            pltpu.VMEM((2, 8, span), jnp.int32),
-            pltpu.VMEM((2, span, TCP), dtype),
-            pltpu.VMEM((bs, TOP), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
