@@ -292,17 +292,35 @@ def make_span_plan(
     iz_all = ocoords[:, 2] * sz - pz + kz[:, None]
     q_all = (iz_all * Y + iy_all) * X + (ocoords[:, 0] * sx - px)[None]
     q_all = jnp.where(ovalid[None] > 0, q_all, -1)
-    lasts = q_all.reshape(-1, NB, bs).max(axis=-1)  # (G, NB)
+    q_blk = q_all.reshape(-1, NB, bs)  # (G, NB, bs)
+    lasts = q_blk.max(axis=-1)  # (G, NB)
     n_iter = max(1, math.ceil(math.log2(Vin + 1)))
-    sb = _bisect(x_keys, firsts, n_iter)  # (G, NB)
-    sb = sb // 16  # 16-row tile units (Mosaic DMA tile alignment)
+    sb_head = _bisect(x_keys, firsts, n_iter) // 16  # tile units
     send = _bisect(x_keys, lasts + kx, n_iter)
+    # For rare blocks whose key interval exceeds the span (a skipped z/y
+    # region), anchor the window at whichever END covers more of the
+    # block's sites; the minority side's contributions drop (counted).
+    sb_tail = jnp.maximum(send - span, 0) // 16
+    kpad2 = jnp.concatenate([x_keys, jnp.full((1,), 0x7FFFFFFF, jnp.int32)])
+
+    def covered(sb_t):
+        # sites whose whole window fits in [sb*16, sb*16 + span)
+        kend = jnp.take(kpad2, jnp.minimum(sb_t * 16 + span, Vin))  # (G, NB)
+        valid_q = q_blk >= 0
+        kstart = jnp.take(kpad2, jnp.minimum(sb_t * 16, Vin))
+        ok = (q_blk >= kstart[..., None]) & (
+            q_blk + kx <= kend[..., None]
+        ) & valid_q
+        return ok.sum(axis=-1)  # (G, NB)
+
+    use_tail = (send - sb_head * 16 > span) & (
+        covered(sb_tail) > covered(sb_head)
+    )
+    sb = jnp.where(use_tail, sb_tail, sb_head)
     se = -(-send // 16)
-    # rows beyond the fetch window drop their contributions (counted):
-    # concentrated in rare blocks whose key interval includes a skipped
-    # region (z/y jumps); per-geometry spans are sized so this is <0.1%
-    # of site-contributions on coherent windows
-    n_overflow = jnp.sum(jnp.maximum(send - sb * 16 - span, 0))
+    # uncovered input rows (same count either anchor — the anchor choice
+    # changes WHICH side drops, keeping the majority of sites served)
+    n_overflow = jnp.sum(jnp.maximum(send - sb_head * 16 - span, 0))
     gp = jnp.stack([ky, kz], axis=1)  # (G, 2)
     return SpanPlan(
         sb=sb, se=se, gp=gp, n_overflow=n_overflow,
