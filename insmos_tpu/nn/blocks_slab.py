@@ -51,11 +51,15 @@ def _bn_slab(p, s, y: Slab, *, train, bn_args):
 
 
 def subm_block_slab(p, s, x: Slab, kernel, tbl: WindowTables, out: Slab | None = None,
-                    *, train, bn_args, chunk=None):
+                    *, train, bn_args, chunk=None, with_occ=False):
     """conv + BN + ReLU. With `out`/strided tables this is the strided
     variant (post_act_block 'spconv'); otherwise submanifold. `tbl` is a
-    WindowTables or span_conv.SpanPlan (both expose .conv)."""
-    y = tbl.conv(x, p["conv"]["w"], out if out is not None else x, kernel, chunk=chunk)
+    WindowTables or span_conv.SpanPlan (both expose .conv). with_occ folds
+    occupancy propagation into the conv pass (span strided convs)."""
+    if with_occ:
+        y = tbl.conv_with_occ(x, p["conv"]["w"], out, kernel)
+    else:
+        y = tbl.conv(x, p["conv"]["w"], out if out is not None else x, kernel, chunk=chunk)
     f, bn_s = _bn_slab(p["bn"], s["bn"], y, train=train, bn_args=bn_args)
     y = y.replace_feats(relu(f))
     return y.replace_feats(y.mask_feats()), {"bn": bn_s}

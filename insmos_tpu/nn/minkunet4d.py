@@ -162,9 +162,9 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
             tables["stem"] = (
                 make_span_plan(
                     s_in.keys, s_in.coords, s_in.valid, _K3_STEM,
-                    in_dims=dims[fin], span=512,
-                    # 5x5 groups reach 2 rows out; dense ground rows need
-                    # the wide span (overflow 19k@256 / 13k@384 / ~0@512)
+                    in_dims=dims[fin], span=384,
+                    # (bs, span) per geometry from the dropped-site sweep
+                    # on coherent windows (tools; 0.009% drops here)
                 )
                 if span
                 else window_tables(
@@ -175,8 +175,8 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         tables[fin] = (
             make_span_plan(
                 s_in.keys, s_in.coords, s_in.valid, _K3_BLOCK,
-                in_dims=dims[fin], bs=256,
-                span=384 if fin <= 2 else 512,  # deeper rows are longer
+                in_dims=dims[fin], bs=128,
+                span=256 if fin <= 4 else 384,  # deeper rows are longer
             )
             if span
             else window_tables(
@@ -190,13 +190,13 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         stats["sites"].append(n_s)
         stats["dropped"].append(n_d)
         if span:
-            # strided: the monotone key interval includes the skipped
-            # in-between input rows (stride 2), so blocks must be small
+            # strided intervals include skipped interleaved rows -> wider
+            # span; occupancy is folded into the down conv itself
+            # (conv_with_occ), so no separate occ pass runs here
             down_tables[fout] = make_span_plan(
                 s_in.keys, nxt.coords, nxt.valid, _K3_DOWN,
-                stride3=_S2, pad3=_P0, in_dims=dims[fin], bs=64, span=256,
+                stride3=_S2, pad3=_P0, in_dims=dims[fin], bs=128, span=256,
             )
-            nxt = span_strided_occ(s_in, down_tables[fout], nxt)
         else:
             down_tables[fout] = window_tables(
                 grid, dims[fin], nxt.coords, nxt.valid, _K3_DOWN,
@@ -209,7 +209,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
     tables[8] = (
         make_span_plan(
             s8.keys, s8.coords, s8.valid, _K3_BLOCK, in_dims=dims[8],
-            bs=256, span=512,
+            bs=128, span=512,  # L8 rows are near x-dense
         )
         if span
         else window_tables(
@@ -234,21 +234,21 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
     )
     y, ns["down1"] = subm_block_slab(
         params["down1"], state["down1"], out_stem, _K_DOWN, down_tables[2],
-        out=slabs[2], chunk=chunk, **bn,
+        out=slabs[2], chunk=chunk, with_occ=span, **bn,
     )
     out_b1, ns["block1"] = basic_block_slab(
         params["block1"], state["block1"], y, _K_BLOCK, tables[2], chunk=chunk, **bn
     )
     y, ns["down2"] = subm_block_slab(
         params["down2"], state["down2"], out_b1, _K_DOWN, down_tables[4],
-        out=slabs[4], chunk=chunk, **bn,
+        out=slabs[4], chunk=chunk, with_occ=span, **bn,
     )
     out_b2, ns["block2"] = basic_block_slab(
         params["block2"], state["block2"], y, _K_BLOCK, tables[4], chunk=chunk, **bn
     )
     y, ns["down3"] = subm_block_slab(
         params["down3"], state["down3"], out_b2, _K_DOWN, down_tables[8],
-        out=slabs[8], chunk=chunk, **bn,
+        out=slabs[8], chunk=chunk, with_occ=span, **bn,
     )
     y, ns["block3"] = basic_block_slab(
         params["block3"], state["block3"], y, _K_BLOCK, tables[8], chunk=chunk, **bn

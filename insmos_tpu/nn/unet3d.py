@@ -180,7 +180,7 @@ def unet3d_forward(
         tables[fin] = (
             make_span_plan(
                 s_in.keys, s_in.coords, s_in.valid, _K3, in_dims=dims[fin],
-                bs=256, span=384 if fin <= 2 else 512,
+                bs=128, span=256 if fin <= 4 else 384,
             )
             if span
             else window_tables(
@@ -198,7 +198,7 @@ def unet3d_forward(
         down_tables[stride] = (
             make_span_plan(
                 s_in.keys, nxt.coords, nxt.valid, _K3,
-                stride3=_S2, pad3=_P1, in_dims=dims[fin], bs=64, span=256,
+                stride3=_S2, pad3=_P1, in_dims=dims[fin], bs=128, span=256,
             )
             if span
             else window_tables(
@@ -213,7 +213,7 @@ def unet3d_forward(
     tables[8] = (
         make_span_plan(
             s8.keys, s8.coords, s8.valid, _K3, in_dims=dims[8],
-            bs=256, span=512,
+            bs=128, span=512,
         )
         if span
         else window_tables(
@@ -228,7 +228,7 @@ def unet3d_forward(
     out_tbl = (
         make_span_plan(
             s8.keys, sites_out.coords, sites_out.valid, _KZ,
-            stride3=_SZ, pad3=_PZ, in_dims=dims[8], bs=64, span=384,
+            stride3=_SZ, pad3=_PZ, in_dims=dims[8], bs=128, span=384,
         )
         if span
         else window_tables(

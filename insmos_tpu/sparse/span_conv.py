@@ -90,16 +90,16 @@ def _kernel(
     gp_ref,  # (G, 2) int32 (ky_i, kz_i)
     # blocked inputs
     site_ref,  # (1, 8, BS) int32: rows 0..3 = out x, y, z, valid
-    wg_ref,  # (G, kx*TCP, TOP) folded group weights (whole array in VMEM)
+    wg_ref,  # (1, kx*TCP, TOP) this group's folded weight
     # ANY inputs (manual DMA)
     keys2_ref,  # (NR16, SPAN) int32: row r = keys[16r : 16r + SPAN]
     feats_ref,  # (Vin + SPAN + 16, TCP)
-    # output
+    # output (revisited across the G grid dim: accumulate)
     out_ref,  # (BS, TOP) f32
-    # scratch (double-buffered over the in-kernel group loop)
-    kscr,  # (2, 8, SPAN) int32
-    fscr,  # (2, SPAN, TCP)
-    sems,  # DMA (2, 2)
+    # scratch
+    kscr,  # (8, SPAN) int32
+    fscr,  # (SPAN, TCP)
+    sems,  # DMA (2,)
     *,
     kx,
     G,
@@ -110,102 +110,93 @@ def _kernel(
     pad3,
 ):
     BS = bs
+    SPAN = span
     b = pl.program_id(0)
+    g = pl.program_id(1)
     X, Y, Z = in_dims
     sx, sy, sz = stride3
     px, py, pz = pad3
-    SPAN = span
 
-    def start_dma(g, slot):
-        r = sbse_ref[g, b] & 0xFFFF
-        s = pl.multiple_of(r * 16, 16)
-        r8 = pl.multiple_of((r // 8) * 8, 8)
-        pltpu.make_async_copy(
-            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
-        ).start()
-        pltpu.make_async_copy(
-            feats_ref.at[pl.ds(s, SPAN), :], fscr.at[slot], sems.at[slot, 1]
-        ).start()
+    r = sbse_ref[g, b] & 0xFFFF  # span start in 16-row tile units
+    s = pl.multiple_of(r * 16, 16)  # feats offset (bf16/f32 tile-aligned)
+    r8 = pl.multiple_of((r // 8) * 8, 8)  # 8-row-aligned keys2 block
+    pltpu.make_async_copy(
+        keys2_ref.at[pl.ds(r8, 8), :], kscr, sems.at[0]
+    ).start()
+    pltpu.make_async_copy(
+        feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
+    ).start()
 
-    start_dma(0, 0)
-
+    ky_i = gp_ref[g, 0]
+    kz_i = gp_ref[g, 1]
     ox = site_ref[0, 0, :]
     oy = site_ref[0, 1, :]
     oz = site_ref[0, 2, :]
-    ovalid = site_ref[0, 3, :] > 0
+    iy = oy * sy - py + ky_i
+    iz = oz * sz - pz + kz_i
     xbase = ox * sx - px
-    subl = jax.lax.broadcasted_iota(jnp.int32, (8, SPAN), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BS, SPAN), 1)
-
-    def g_body(g, acc):
-        slot = jax.lax.rem(g, 2)
-        r = sbse_ref[g, b] & 0xFFFF
-        s = pl.multiple_of(r * 16, 16)
-        r8 = pl.multiple_of((r // 8) * 8, 8)
-        pltpu.make_async_copy(
-            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            feats_ref.at[pl.ds(s, SPAN), :], fscr.at[slot], sems.at[slot, 1]
-        ).wait()
-        kblock = kscr[slot]
-        f = fscr[slot]
-
-        @pl.when(g + 1 < G)
-        def _():
-            start_dma(g + 1, 1 - slot)
-
-        ky_i = gp_ref[g, 0]
-        kz_i = gp_ref[g, 1]
-        iy = oy * sy - py + ky_i
-        iz = oz * sz - pz + kz_i
-        row_ok = ovalid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
-        q = (iz * Y + iy) * X + xbase  # (BS,) window base key
-
-        # select the wanted key row from the 8-row aligned block
-        kspan = jnp.sum(
-            jnp.where(subl == (r - (r // 8) * 8), kblock, 0),
-            axis=0, keepdims=True,
-        )  # (1, SPAN)
-
-        # ranks r_c = #span keys < q + c -> presence / aligned position
-        qc = q[:, None]
-        ranks = [
-            jnp.sum((kspan < qc + c).astype(jnp.int32), axis=1)
-            for c in range(kx + 1)
-        ]
-
-        # Direct aligned extraction: kernel x-position d's input row sits
-        # at span position ranks[d] when present (cell keys are
-        # consecutive ints, so rank_d jumps by exactly 1 there). One
-        # presence-gated one-hot MXU matmul per d does the gather AND the
-        # slot alignment. (ranks >= SPAN naturally select nothing.)
-        xok = [
-            (xbase + d >= 0) & (xbase + d < X) & row_ok for d in range(kx)
-        ]
-        parts = []
-        for d in range(kx):
-            present = ((ranks[d + 1] - ranks[d]) == 1) & xok[d]
-            oh = (
-                (lane == ranks[d][:, None]) & present[:, None]
-            ).astype(wg_ref.dtype)
-            parts.append(
-                jax.lax.dot_general(
-                    oh, f, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
-        w_g = wg_ref[g]
-        return acc + jax.lax.dot_general(
-            src, w_g, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    TOP = out_ref.shape[-1]
-    out_ref[:] = jax.lax.fori_loop(
-        0, G, g_body, jnp.zeros((BS, TOP), jnp.float32)
+    row_ok = (
+        (site_ref[0, 3, :] > 0)
+        & (iy >= 0) & (iy < Y)
+        & (iz >= 0) & (iz < Z)
     )
+    q = (iz * Y + iy) * X + xbase  # (BS,) int32 window base key
+
+    pltpu.make_async_copy(
+        keys2_ref.at[pl.ds(r8, 8), :], kscr, sems.at[0]
+    ).wait()
+    # select the wanted key row from the 8-row aligned block
+    subl = jax.lax.broadcasted_iota(jnp.int32, (8, SPAN), 0)
+    kspan = jnp.sum(
+        jnp.where(subl == (r - (r // 8) * 8), kscr[:], 0),
+        axis=0, keepdims=True,
+    )  # (1, SPAN)
+
+    # ranks r_c = #span keys < q + c  ->  presence / aligned position
+    qc = q[:, None]
+    ranks = []
+    for c in range(kx + 1):
+        ranks.append(
+            jnp.sum((kspan < qc + c).astype(jnp.int32), axis=1)
+        )  # (BS,)
+
+    pltpu.make_async_copy(
+        feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
+    ).wait()
+
+    # Direct aligned extraction: kernel x-position d's input row sits at
+    # span position ranks[d] when present (cell keys are consecutive ints,
+    # so rank_d jumps by exactly 1 there). One presence-gated one-hot
+    # matmul per d — the MXU does the gather AND the slot alignment.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BS, SPAN), 1)
+    f = fscr[:]
+    parts = []
+    for d in range(kx):
+        present = ((ranks[d + 1] - ranks[d]) == 1) & row_ok
+        present &= (xbase + d >= 0) & (xbase + d < X)
+        oh = (
+            (lane == ranks[d][:, None]) & present[:, None]
+        ).astype(wg_ref.dtype)
+        parts.append(
+            jax.lax.dot_general(
+                oh, f, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
+
+    contrib = jax.lax.dot_general(
+        src, wg_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BS, TOP)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(g > 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
 
 
 @jax.tree_util.register_dataclass
@@ -238,10 +229,52 @@ class SpanPlan:
         res = out.replace_feats(feats)
         return res.replace_feats(res.mask_feats())
 
+    def conv_with_occ(self, x: Slab, weight, out: Slab, kernel) -> Slab:
+        """Strided conv that ALSO propagates occupancy (OR over gathered
+        children) in the same kernel pass: the input grows a per-t ones
+        channel and the weight a diagonal occ->occ output channel — free
+        when T*(cin+1) stays within the 128-lane padding. Replaces
+        span_strided_occ's separate pass for down convs."""
+        kt = kernel[3] if len(kernel) == 4 else 1
+        assert kt == 1, "occ folding assumes a t-kernel of 1 (down convs)"
+        K, cin, cout = weight.shape
+        T = x.T
+        f = x.mask_feats()
+        occf = jnp.where(x.valid[:, None], x.occ, False).astype(f.dtype)
+        cols = []
+        for t in range(T):
+            cols.append(f[:, t * cin : (t + 1) * cin])
+            cols.append(occf[:, t : t + 1])
+        fa = jnp.concatenate(cols, axis=-1)  # (V, T*(cin+1))
+        wa = (
+            jnp.zeros((K, cin + 1, cout + 1), weight.dtype)
+            .at[:, :cin, :cout].set(weight)
+            .at[:, cin, cout].set(1.0)
+        )
+        feats = span_conv_apply(
+            x.keys, fa, out.coords, out.valid, wa,
+            self.sb, self.se, self.gp, T, self.kernel3, 1,
+            self.stride3, self.pad3, self.in_dims, self.span, self.bs,
+        )  # (V, T*(cout+1))
+        co = cout + 1
+        out_cols = []
+        occ_cols = []
+        for t in range(T):
+            out_cols.append(feats[:, t * co : t * co + cout])
+            occ_cols.append(feats[:, t * co + cout : (t + 1) * co])
+        out_feats = jnp.concatenate(out_cols, axis=-1)
+        occ = (jnp.concatenate(occ_cols, axis=-1) > 0.5) & out.valid[:, None]
+        res = Slab(
+            out.keys, out.coords, occ, out_feats, out.valid, out.dims, out.T
+        )
+        return res.replace_feats(res.mask_feats())
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel3", "stride3", "pad3", "in_dims", "span", "bs"),
+    static_argnames=(
+        "kernel3", "stride3", "pad3", "in_dims", "span", "bs", "exact_stats",
+    ),
 )
 def make_span_plan(
     x_keys,  # (Vin,) int32 sorted input site keys
@@ -253,9 +286,19 @@ def make_span_plan(
     in_dims=None,
     span: int = SPAN,
     bs: int = BS,
+    exact_stats: bool = False,
 ) -> SpanPlan:
     """Compute per-(group, block) span starts by bisection over the sorted
-    input keys, plus span-overflow accounting from each block's last site."""
+    input keys.
+
+    For rare blocks whose key interval exceeds the span (a skipped z/y
+    region), the window anchors at whichever end covers the block's
+    MEDIAN site, keeping the majority side; the minority's contributions
+    drop and are counted. The production overflow counter is a cheap
+    proxy (3 sentinel sites per block: first/median/last); pass
+    exact_stats=True (tools/sweeps) for the exact per-site coverage count,
+    which materializes a (G, V) query array (~60 ms at L1 scale).
+    """
     kx = int(kernel3[0])
     if pad3 is None:
         pad3 = tuple((k - 1) // 2 for k in kernel3)
@@ -279,48 +322,68 @@ def make_span_plan(
     ky = jnp.asarray([g[0] for g in groups], jnp.int32)
     kz = jnp.asarray([g[1] for g in groups], jnp.int32)
 
-    def block_q(c3, v):
+    def block_q(c3, v, fill):
         iy = c3[:, 1] * sy - py + ky[:, None]
         iz = c3[:, 2] * sz - pz + kz[:, None]
         q = (iz * Y + iy) * X + (c3[:, 0] * sx - px)[None]
-        return jnp.where(v[None] > 0, q, jnp.iinfo(jnp.int32).max)  # (G, NB)
+        return jnp.where(v[None] > 0, q, fill)  # (G, NB)
 
-    firsts = block_q(ocoords[::bs], ovalid[::bs])
-    # last VALID query per block (partial blocks must not count their
-    # padding tail as overflow)
-    iy_all = ocoords[:, 1] * sy - py + ky[:, None]
-    iz_all = ocoords[:, 2] * sz - pz + kz[:, None]
-    q_all = (iz_all * Y + iy_all) * X + (ocoords[:, 0] * sx - px)[None]
-    q_all = jnp.where(ovalid[None] > 0, q_all, -1)
-    q_blk = q_all.reshape(-1, NB, bs)  # (G, NB, bs)
-    lasts = q_blk.max(axis=-1)  # (G, NB)
-    n_iter = max(1, math.ceil(math.log2(Vin + 1)))
-    sb_head = _bisect(x_keys, firsts, n_iter) // 16  # tile units
-    send = _bisect(x_keys, lasts + kx, n_iter)
-    # For rare blocks whose key interval exceeds the span (a skipped z/y
-    # region), anchor the window at whichever END covers more of the
-    # block's sites; the minority side's contributions drop (counted).
-    sb_tail = jnp.maximum(send - span, 0) // 16
-    kpad2 = jnp.concatenate([x_keys, jnp.full((1,), 0x7FFFFFFF, jnp.int32)])
+    BIG = jnp.iinfo(jnp.int32).max
+    # per-block last/median VALID site (q is monotone within a block for
+    # every group, so three sentinel sites characterize the interval)
+    vblk = ovalid.reshape(NB, bs)
+    nvalid_blk = vblk.sum(axis=1)  # (NB,)
+    base = jnp.arange(NB, dtype=jnp.int32) * bs
+    last_i = base + jnp.maximum(nvalid_blk - 1, 0)
+    mid_i = base + jnp.maximum(nvalid_blk // 2 - 0, 0)
 
-    def covered(sb_t):
-        # sites whose whole window fits in [sb*16, sb*16 + span)
-        kend = jnp.take(kpad2, jnp.minimum(sb_t * 16 + span, Vin))  # (G, NB)
-        valid_q = q_blk >= 0
-        kstart = jnp.take(kpad2, jnp.minimum(sb_t * 16, Vin))
-        ok = (q_blk >= kstart[..., None]) & (
-            q_blk + kx <= kend[..., None]
-        ) & valid_q
-        return ok.sum(axis=-1)  # (G, NB)
-
-    use_tail = (send - sb_head * 16 > span) & (
-        covered(sb_tail) > covered(sb_head)
+    firsts = block_q(ocoords[::bs], ovalid[::bs], BIG)
+    lasts = block_q(
+        jnp.take(ocoords, last_i, axis=0), (nvalid_blk > 0).astype(jnp.int32), -1
     )
+    mids = block_q(
+        jnp.take(ocoords, mid_i, axis=0), (nvalid_blk > 0).astype(jnp.int32), -1
+    )
+    n_iter = max(1, math.ceil(math.log2(Vin + 1)))
+    # one stacked bisection serves all three query sets
+    pos3 = _bisect(
+        x_keys, jnp.stack([firsts, lasts + kx, mids]), n_iter
+    )
+    sb_head = pos3[0] // 16  # tile units
+    send = pos3[1]
+    mid_pos = pos3[2]
+    sb_tail = jnp.maximum(send - span, 0) // 16
+    jump = send - sb_head * 16 > span
+    # anchor at the end that covers the median site
+    use_tail = jump & (mid_pos >= sb_head * 16 + span)
     sb = jnp.where(use_tail, sb_tail, sb_head)
     se = -(-send // 16)
-    # uncovered input rows (same count either anchor — the anchor choice
-    # changes WHICH side drops, keeping the majority of sites served)
-    n_overflow = jnp.sum(jnp.maximum(send - sb_head * 16 - span, 0))
+
+    if exact_stats:
+        # exact: (site, group) pairs whose present window cells are not
+        # fully inside the chosen fetch window
+        iy_all = ocoords[:, 1] * sy - py + ky[:, None]
+        iz_all = ocoords[:, 2] * sz - pz + kz[:, None]
+        q_all = (iz_all * Y + iy_all) * X + (ocoords[:, 0] * sx - px)[None]
+        q_all = jnp.where(ovalid[None] > 0, q_all, -1)
+        q_blk = q_all.reshape(-1, NB, bs)
+        kpad2 = jnp.concatenate(
+            [x_keys, jnp.full((1,), 0x7FFFFFFF, jnp.int32)]
+        )
+        kend = jnp.take(kpad2, jnp.minimum(sb * 16 + span, Vin))
+        kbefore = jnp.where(
+            sb > 0, jnp.take(kpad2, jnp.clip(sb * 16 - 1, 0, Vin)), -1
+        )
+        ok = (
+            (q_blk + kx <= kend[..., None])
+            & (kbefore[..., None] < q_blk)
+            & (q_blk >= 0)
+        )
+        n_overflow = jnp.sum((q_blk >= 0).astype(jnp.int32)) - jnp.sum(ok)
+    else:
+        # proxy: jump blocks times half a block (the anchored side is kept)
+        n_overflow = jnp.sum(jnp.where(jump, bs // 2, 0))
+
     gp = jnp.stack([ky, kz], axis=1)  # (G, 2)
     return SpanPlan(
         sb=sb, se=se, gp=gp, n_overflow=n_overflow,
@@ -415,18 +478,18 @@ def span_conv_apply(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(NB,),
+        grid=(NB, G),
         in_specs=[
-            pl.BlockSpec((1, 8, bs), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((G, kx * TCP, TOP), lambda b, *_: (0, 0, 0)),
+            pl.BlockSpec((1, 8, bs), lambda b, g, *_: (b, 0, 0)),
+            pl.BlockSpec((1, kx * TCP, TOP), lambda b, g, *_: (g, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((bs, TOP), lambda b, *_: (b, 0)),
+        out_specs=pl.BlockSpec((bs, TOP), lambda b, g, *_: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, span), jnp.int32),
-            pltpu.VMEM((2, span, TCP), dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((8, span), jnp.int32),
+            pltpu.VMEM((span, TCP), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

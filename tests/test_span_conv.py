@@ -192,7 +192,12 @@ def test_span_dense_strided_wide_span():
         stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
     )
     assert int(probe.n_overflow) > 0  # narrow span drops (and reports) rows
-    need = (np.asarray(probe.se) - np.asarray(probe.sb)) * 16
+    # true need from a head-anchored (no-jump) wide probe
+    wide = make_span_plan(
+        slab.keys, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=4096, bs=64,
+    )
+    need = (np.asarray(wide.se) - np.asarray(wide.sb)) * 16
     span = int(-(-int(need.max()) // 16) * 16 + 16)
     plan = make_span_plan(
         slab.keys, out.coords, out.valid, (2, 2, 2),
@@ -200,6 +205,39 @@ def test_span_dense_strided_wide_span():
     )
     assert int(plan.n_overflow) == 0
     got = plan.conv(slab, w, out, kernel)
+    np.testing.assert_allclose(
+        np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_conv_with_occ_matches_window_plus_occ():
+    """Occ-folded strided conv == window strided conv + strided_occ."""
+    from insmos_tpu.sparse.slab import strided_occ
+    from insmos_tpu.sparse.span_conv import make_span_plan
+
+    rng = np.random.default_rng(13)
+    cin, cout = 5, 6
+    slab = _random_slab(rng, 500, 1024, cin)
+    kernel = (2, 2, 2, 1)
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32)) * 0.2
+    dims2 = tuple(-(-d // 2) for d in DIMS3)
+    out, _, _ = derive_strided_sites(
+        slab, (2, 2, 2), (2, 2, 2), (0, 0, 0), dims2, 512
+    )
+    grid = site_grid(slab)
+    tbl = window_tables(
+        grid, DIMS3, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), vin=slab.capacity,
+    )
+    ref_occ = strided_occ(slab, tbl, out)
+    ref = window_conv(slab, w, tbl, ref_occ, kernel)
+
+    plan = make_span_plan(
+        slab.keys, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=256, bs=64,
+    )
+    got = plan.conv_with_occ(slab, w, out, kernel)
+    np.testing.assert_array_equal(np.asarray(got.occ), np.asarray(ref_occ.occ))
     np.testing.assert_allclose(
         np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
     )
