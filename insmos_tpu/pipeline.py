@@ -171,6 +171,7 @@ class InferencePipeline:
             "scores": out["scores"],
             "labels": out["labels"],
             "box_mask": out["box_mask"],
+            "overflow": out["overflow"],
         }
 
     def push_scan(self, scan: np.ndarray, tf: np.ndarray | None = None) -> dict:

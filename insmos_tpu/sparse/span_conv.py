@@ -85,24 +85,26 @@ def fold_weights(weight, kx, G, kt, T, dtype):
 
 def _kernel(
     # scalar prefetch
-    sbse_ref,  # (G, NB) int32: bits 0..15 span start (16-row tile units),
-    # bits 16..30 span length in tiles (ceil) — packed to fit SMEM
-    gp_ref,  # (G, 2) int32 (ky_i, kz_i)
+    sbse_ref,  # (GP, NB) int32: bits 0..15 span start (16-row tile units),
+    # bits 16..30 span length in tiles (ceil), sign bit = DEAD block
+    gp_ref,  # (GP, 2) int32 (ky_i, kz_i)
     # blocked inputs
     site_ref,  # (1, 8, BS) int32: rows 0..3 = out x, y, z, valid
-    wg_ref,  # (1, kx*TCP, TOP) this group's folded weight
+    wg_ref,  # (GI, kx*TCP, TOP) this outer step's folded weights
     # ANY inputs (manual DMA)
     keys2_ref,  # (NR16, SPAN) int32: row r = keys[16r : 16r + SPAN]
     feats_ref,  # (Vin + SPAN + 16, TCP)
-    # output (revisited across the G grid dim: accumulate)
+    # output (revisited across the GO grid dim when GO > 1)
     out_ref,  # (BS, TOP) f32
     # scratch
-    kscr,  # (8, SPAN) int32
-    fscr,  # (SPAN, TCP)
-    sems,  # DMA (2,)
+    kscr,  # (2, 8, SPAN) int32 double-buffered key spans
+    fscr,  # (2, SPAN, TCP) double-buffered feature spans
+    acc_ref,  # (BS, TOP) f32 accumulator
+    sems,  # DMA (2, 2)
     *,
     kx,
     G,
+    GI,
     span,
     bs,
     in_dims,
@@ -112,91 +114,107 @@ def _kernel(
     BS = bs
     SPAN = span
     b = pl.program_id(0)
-    g = pl.program_id(1)
+    go = pl.program_id(1)
+    GO = -(-G // GI)
     X, Y, Z = in_dims
     sx, sy, sz = stride3
     px, py, pz = pad3
 
-    r = sbse_ref[g, b] & 0xFFFF  # span start in 16-row tile units
-    s = pl.multiple_of(r * 16, 16)  # feats offset (bf16/f32 tile-aligned)
-    r8 = pl.multiple_of((r // 8) * 8, 8)  # 8-row-aligned keys2 block
-    pltpu.make_async_copy(
-        keys2_ref.at[pl.ds(r8, 8), :], kscr, sems.at[0]
-    ).start()
-    pltpu.make_async_copy(
-        feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
-    ).start()
+    def copies(gi, slot):
+        r = sbse_ref[go * GI + gi, b] & 0xFFFF  # span start, 16-row units
+        s = pl.multiple_of(r * 16, 16)  # feats offset (tile-aligned)
+        r8 = pl.multiple_of((r // 8) * 8, 8)  # 8-row-aligned keys2 block
+        ck = pltpu.make_async_copy(
+            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
+        )
+        cf = pltpu.make_async_copy(
+            feats_ref.at[pl.ds(s, SPAN), :], fscr.at[slot], sems.at[slot, 1]
+        )
+        return ck, cf
 
-    ky_i = gp_ref[g, 0]
-    kz_i = gp_ref[g, 1]
+    live = sbse_ref[go * GI, b] >= 0  # block has >= 1 valid site
     ox = site_ref[0, 0, :]
     oy = site_ref[0, 1, :]
     oz = site_ref[0, 2, :]
-    iy = oy * sy - py + ky_i
-    iz = oz * sz - pz + kz_i
+    valid = site_ref[0, 3, :] > 0
     xbase = ox * sx - px
-    row_ok = (
-        (site_ref[0, 3, :] > 0)
-        & (iy >= 0) & (iy < Y)
-        & (iz >= 0) & (iz < Z)
-    )
-    q = (iz * Y + iy) * X + xbase  # (BS,) int32 window base key
 
-    pltpu.make_async_copy(
-        keys2_ref.at[pl.ds(r8, 8), :], kscr, sems.at[0]
-    ).wait()
-    # select the wanted key row from the 8-row aligned block
-    subl = jax.lax.broadcasted_iota(jnp.int32, (8, SPAN), 0)
-    kspan = jnp.sum(
-        jnp.where(subl == (r - (r // 8) * 8), kscr[:], 0),
-        axis=0, keepdims=True,
-    )  # (1, SPAN)
+    for c in copies(0, 0):
+        c.start()
+    for gi in range(GI):
+        slot = gi % 2
+        if gi + 1 < GI:  # prefetch next group into the other buffer
+            for c in copies(gi + 1, 1 - slot):
+                c.start()
+        for c in copies(gi, slot):
+            c.wait()
 
-    # ranks r_c = #span keys < q + c  ->  presence / aligned position
-    qc = q[:, None]
-    ranks = []
-    for c in range(kx + 1):
-        ranks.append(
-            jnp.sum((kspan < qc + c).astype(jnp.int32), axis=1)
-        )  # (BS,)
+        g = go * GI + gi
+        ky_i = gp_ref[g, 0]
+        kz_i = gp_ref[g, 1]
+        iy = oy * sy - py + ky_i
+        iz = oz * sz - pz + kz_i
+        row_ok = valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
+        q = (iz * Y + iy) * X + xbase  # (BS,) int32 window base key
+        r = sbse_ref[g, b] & 0xFFFF
 
-    pltpu.make_async_copy(
-        feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
-    ).wait()
+        @pl.when(live)
+        def _(gi=gi, slot=slot, row_ok=row_ok, q=q, r=r):
+            # select the wanted key row from the 8-row aligned block
+            subl = jax.lax.broadcasted_iota(jnp.int32, (8, SPAN), 0)
+            kspan = jnp.sum(
+                jnp.where(subl == (r - (r // 8) * 8), kscr[slot], 0),
+                axis=0, keepdims=True,
+            )  # (1, SPAN)
 
-    # Direct aligned extraction: kernel x-position d's input row sits at
-    # span position ranks[d] when present (cell keys are consecutive ints,
-    # so rank_d jumps by exactly 1 there). One presence-gated one-hot
-    # matmul per d — the MXU does the gather AND the slot alignment.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BS, SPAN), 1)
-    f = fscr[:]
-    parts = []
-    for d in range(kx):
-        present = ((ranks[d + 1] - ranks[d]) == 1) & row_ok
-        present &= (xbase + d >= 0) & (xbase + d < X)
-        oh = (
-            (lane == ranks[d][:, None]) & present[:, None]
-        ).astype(wg_ref.dtype)
-        parts.append(
-            jax.lax.dot_general(
-                oh, f, (((1,), (0,)), ((), ())),
+            # Direct equality extraction: site keys are UNIQUE ints, so
+            # the one-hot for kernel x-position d is simply
+            # (kspan == q + d) — no rank reductions (cross-lane sums were
+            # the kernel's VPU wall). Invalid rows get an impossible
+            # negative query; absent neighbours match nothing and
+            # contribute exact zeros. One one-hot matmul per d — the MXU
+            # does the gather AND the slot alignment.
+            f = fscr[slot]
+            parts = []
+            for d in range(kx):
+                ok_d = row_ok & (xbase + d >= 0) & (xbase + d < X)
+                qd = jnp.where(ok_d, q + d, -0x7FFFFFF)  # matches no key
+                oh = (kspan == qd[:, None]).astype(wg_ref.dtype)
+                parts.append(
+                    jax.lax.dot_general(
+                        oh, f, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
+
+            contrib = jax.lax.dot_general(
+                src, wg_ref[gi], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-        )
-    src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
+            )  # (BS, TOP)
+            if gi == 0:
+                acc_ref[:] = contrib
+            else:
+                acc_ref[:] = acc_ref[:] + contrib
 
-    contrib = jax.lax.dot_general(
-        src, wg_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BS, TOP)
-
-    @pl.when(g == 0)
+    @pl.when(live)
     def _():
-        out_ref[:] = contrib
+        if GO == 1:
+            out_ref[:] = acc_ref[:]
+        else:
 
-    @pl.when(g > 0)
+            @pl.when(go == 0)
+            def _():
+                out_ref[:] = acc_ref[:]
+
+            @pl.when(go > 0)
+            def _():
+                out_ref[:] = out_ref[:] + acc_ref[:]
+
+    # dead block (no valid sites): define the output once with zeros
+    @pl.when(jnp.logical_not(live) & (go == 0))
     def _():
-        out_ref[:] = out_ref[:] + contrib
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
 @jax.tree_util.register_dataclass
@@ -474,27 +492,49 @@ def span_conv_apply(
         axis=1,
     )  # (NB, 8, bs)
 
+    # pack span start + length; sign bit marks DEAD blocks (no valid output
+    # site — slab validity is a sorted prefix), whose matmuls the kernel
+    # skips entirely (DMAs still issue unconditionally; PERF.md Mosaic note)
+    dead = ovalid.reshape(NB, bs).sum(axis=1) == 0  # (NB,)
     sbse = sb | jnp.minimum(se - sb, 0x7FFF) << 16
+    sbse = jnp.where(dead[None, :], sbse | (-0x80000000), sbse)
+
+    # groups per grid step: as many as keep this step's folded weights
+    # within a ~4 MB VMEM budget (the whole group loop then runs inside one
+    # step with double-buffered span DMAs — per-step overhead amortized)
+    per_g = kx * TCP * TOP * jnp.dtype(dtype).itemsize
+    GI = max(1, min(G, (4 << 20) // per_g))
+    GO = -(-G // GI)
+    GP = GO * GI
+    if GP > G:  # pad: weights zero (contribute nothing), spans copy row 0
+        wg = jnp.concatenate(
+            [wg, jnp.zeros((GP - G, kx * TCP, TOP), wg.dtype)]
+        )
+        sbse = jnp.concatenate(
+            [sbse, jnp.broadcast_to(sbse[:1], (GP - G, NB))]
+        )
+        gp = jnp.concatenate([gp, jnp.zeros((GP - G, 2), jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(NB, G),
+        grid=(NB, GO),
         in_specs=[
-            pl.BlockSpec((1, 8, bs), lambda b, g, *_: (b, 0, 0)),
-            pl.BlockSpec((1, kx * TCP, TOP), lambda b, g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, 8, bs), lambda b, go, *_: (b, 0, 0)),
+            pl.BlockSpec((GI, kx * TCP, TOP), lambda b, go, *_: (go, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((bs, TOP), lambda b, g, *_: (b, 0)),
+        out_specs=pl.BlockSpec((bs, TOP), lambda b, go, *_: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((8, span), jnp.int32),
-            pltpu.VMEM((span, TCP), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 8, span), jnp.int32),
+            pltpu.VMEM((2, span, TCP), dtype),
+            pltpu.VMEM((bs, TOP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
     kern = functools.partial(
-        _kernel, kx=kx, G=G, span=span, bs=bs, in_dims=in_dims,
+        _kernel, kx=kx, G=G, GI=GI, span=span, bs=bs, in_dims=in_dims,
         stride3=stride3, pad3=pad3,
     )
     out = pl.pallas_call(

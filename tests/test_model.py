@@ -119,3 +119,65 @@ def test_train_step_and_data_parallel(tiny_setup):
     np.testing.assert_allclose(
         float(m3["loss"]), float(metrics["loss"]), rtol=2e-4
     )
+
+
+def test_warmup_masked_window_matches_native_small_window():
+    """Warm-up parity: a W=4 sample with only the last 2 slots filled must
+    produce the SAME current-scan outputs as a native W=2 forward on the
+    same two scans. This certifies the single-graph masked-slot warm-up
+    (pipeline.py) against the reference's per-window-size model rebuild
+    (scripts/predict_mos.py:305-383)."""
+    cfg4 = tiny_config(window=4)
+    cfg4 = dataclasses.replace(
+        cfg4, runtime=dataclasses.replace(cfg4.runtime, compute_dtype="float32")
+    )
+    cfg2 = dataclasses.replace(
+        cfg4, model=dataclasses.replace(cfg4.model, n_past_steps=2)
+    )
+    # params/state are W-independent (t-kernel folding happens at call time)
+    model4, model2 = InsMOSModel(cfg4), InsMOSModel(cfg2)
+    params, state = model4.init(jax.random.PRNGKey(7))
+
+    rng = np.random.default_rng(11)
+    P = cfg4.runtime.max_points_per_scan
+    r = cfg4.data.point_cloud_range
+    n = int(P * 0.8)
+    scans = np.zeros((2, P, 4), np.float32)
+    for w in range(2):
+        scans[w, :n, 0] = rng.uniform(r[0], r[3], n)
+        scans[w, :n, 1] = rng.uniform(r[1], r[4], n)
+        scans[w, :n, 2] = rng.uniform(r[2], r[5], n)
+        scans[w, :n, 3] = rng.uniform(0, 1, n)
+
+    def sample(W, filled):
+        pts = np.zeros((W, P, 4), np.float32)
+        pts[W - filled:] = scans[:filled]
+        num = np.zeros((W,), np.int32)
+        num[W - filled:] = n
+        mask = np.zeros((W,), bool)
+        mask[W - filled:] = True
+        return {
+            "points": pts,
+            "num_points": num,
+            "scan_mask": mask,
+            "labels": np.zeros((W, P), np.int32),
+            "gt_boxes": np.zeros((cfg4.model.head.max_objs, 8), np.float32),
+            "num_boxes": np.int32(0),
+        }
+
+    out4 = jax.jit(lambda p, s, x: model4.forward(p, s, x, train=False))(
+        params, state, sample(4, 2)
+    )
+    out2 = jax.jit(lambda p, s, x: model2.forward(p, s, x, train=False))(
+        params, state, sample(2, 2)
+    )
+    valid = np.asarray(out2["point_valid"])
+    np.testing.assert_allclose(
+        np.asarray(out4["point_logits"])[valid],
+        np.asarray(out2["point_logits"])[valid],
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out4["cls_map"]), np.asarray(out2["cls_map"]),
+        atol=1e-4, rtol=1e-4,
+    )
