@@ -38,14 +38,64 @@ def gate_boxes(pred: dict) -> np.ndarray:
     return boxes[keep], labels[keep]
 
 
-def render_bev_png(scan, mos, boxes, labels, out_path, extent=60.0):
+def point_colors(scan, mos, boxes, labels, mode: str) -> np.ndarray:
+    """Per-point RGB colors.
+
+    mode "class":    MOS class colors (static blue / moving red).
+    mode "instance": every box instance gets its own palette color; points
+                     in no box keep the gray base; moving points outside
+                     boxes stay class-red. Replicates the reference's
+                     per-instance coloring path (visual/vis_mos_bbox.py:326,
+                     Array_Index.find_point_in_instance_bbox_with_yaw with
+                     ground offset 0.2 via the on-device op's numpy oracle)
+                     but with distinct instance colors instead of uniform
+                     cyan; mode "ref" reproduces the exact reference scheme
+                     (gray base, cyan in-box, red moving).
+    """
+    n = len(scan)
+    if mode == "class" or not len(boxes):
+        if mode in ("instance", "ref"):
+            base = np.full((n, 3), 0.5)
+            base[mos == 2] = (1.0, 0.0, 0.0)
+            return base
+        return np.array([CLS_COLOR[int(c)] for c in mos])
+
+    from ..ops.points_in_boxes import points_in_rotated_boxes_np
+
+    lifted = boxes.copy()
+    lifted[:, 2] += 0.2  # reference ground offset (vis_mos_bbox.py:326)
+    inside = points_in_rotated_boxes_np(scan[:, :3], lifted)  # (N, M)
+    # max box index tie-break — the documented deterministic replacement
+    # for the reference's OpenMP last-writer race (ops/points_in_boxes.py)
+    m = inside.shape[1]
+    ids = np.where(inside.any(1), m - inside[:, ::-1].argmax(1), 0)
+    hit = inside.any(1) & np.isin(labels, (1, 2))[ids - 1]
+
+    base = np.full((n, 3), 0.5)
+    if mode == "ref":
+        base[hit] = (0.0, 1.0, 1.0)
+        base[mos == 2] = (1.0, 0.0, 0.0)
+        return base
+    base[mos == 2] = (1.0, 0.0, 0.0)
+    palette = np.array(
+        [
+            (0.0, 1.0, 1.0), (1.0, 0.6, 0.0), (0.2, 1.0, 0.2),
+            (1.0, 0.2, 1.0), (1.0, 1.0, 0.2), (0.4, 0.6, 1.0),
+            (0.0, 0.7, 0.4), (0.8, 0.4, 0.1),
+        ]
+    )
+    base[hit] = palette[(ids[hit] - 1) % len(palette)]
+    return base
+
+
+def render_bev_png(scan, mos, boxes, labels, out_path, extent=60.0, color="class"):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(10, 9), dpi=110)
-    colors = np.array([CLS_COLOR[int(c)] for c in mos])
+    colors = point_colors(scan, mos, boxes, labels, color)
     ax.scatter(scan[:, 0], scan[:, 1], s=0.3, c=colors, linewidths=0)
     if len(boxes):
         corners = np.asarray(boxes_to_corners_bev(boxes))  # (M, 4, 2)
@@ -61,17 +111,17 @@ def render_bev_png(scan, mos, boxes, labels, out_path, extent=60.0):
     plt.close(fig)
 
 
-def run_open3d(scans, labels_per_scan, boxes_per_scan):
+def run_open3d(scans, labels_per_scan, boxes_per_scan, color="class"):
     import open3d as o3d  # pragma: no cover - optional dependency
 
     idx = {"i": 0}
 
     def make_geoms(i):
-        scan, mos, (boxes, _) = scans[i], labels_per_scan[i], boxes_per_scan[i]
+        scan, mos, (boxes, blab) = scans[i], labels_per_scan[i], boxes_per_scan[i]
         pcd = o3d.geometry.PointCloud()
         pcd.points = o3d.utility.Vector3dVector(scan[:, :3])
         pcd.colors = o3d.utility.Vector3dVector(
-            np.array([CLS_COLOR[int(c)] for c in mos])
+            point_colors(scan, mos, boxes, blab, color)
         )
         geoms = [pcd]
         for b in boxes:
@@ -113,6 +163,11 @@ def main(argv=None):
     p.add_argument("--frames", type=int, nargs="*", default=None)
     p.add_argument("--out", default="vis")
     p.add_argument("--interactive", action="store_true", help="open3d viewer")
+    p.add_argument(
+        "--color", choices=("class", "instance", "ref"), default="class",
+        help="point coloring: MOS class, per-instance palette, or the "
+        "reference's gray/cyan/red scheme (vis_mos_bbox.py:326-331)",
+    )
     args = p.parse_args(argv)
 
     ss = f"{args.seq:02d}"
@@ -129,7 +184,7 @@ def main(argv=None):
             gate_boxes(np.load(bbox_paths[i], allow_pickle=True).item())
             for i in frames
         ]
-        run_open3d(scans, labels, boxes)
+        run_open3d(scans, labels, boxes, color=args.color)
         return
 
     os.makedirs(args.out, exist_ok=True)
@@ -138,7 +193,8 @@ def main(argv=None):
         mos = read_pred_labels(mos_paths[i])
         boxes, labels = gate_boxes(np.load(bbox_paths[i], allow_pickle=True).item())
         render_bev_png(
-            scan, mos, boxes, labels, os.path.join(args.out, f"{ss}_{i:06d}.png")
+            scan, mos, boxes, labels,
+            os.path.join(args.out, f"{ss}_{i:06d}.png"), color=args.color,
         )
     print(f"wrote {len(frames)} PNGs to {args.out}")
 
