@@ -45,7 +45,7 @@ from ..sparse.slab import (
     strided_occ,
     window_tables,
 )
-from ..sparse.span_conv import make_span_plan, span_strided_occ
+from ..sparse.span_conv import make_span_plan
 from .blocks import init_basic_block, init_conv_bn
 from .blocks_slab import (
     basic_block_slab,
@@ -162,9 +162,10 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
             tables["stem"] = (
                 make_span_plan(
                     s_in.keys, s_in.coords, s_in.valid, _K3_STEM,
-                    in_dims=dims[fin], span=384,
-                    # (bs, span) per geometry from the dropped-site sweep
-                    # on coherent windows (tools; 0.009% drops here)
+                    in_dims=dims[fin], span=256, jbcap=128, jwin=2,
+                    # spans sized to the p99 interval (tools/probe_spans);
+                    # the tail goes through the jumbo coverage pass, whose
+                    # exact counter bench.py gates at 0
                 )
                 if span
                 else window_tables(
@@ -175,8 +176,8 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         tables[fin] = (
             make_span_plan(
                 s_in.keys, s_in.coords, s_in.valid, _K3_BLOCK,
-                in_dims=dims[fin], bs=128,
-                span=256 if fin <= 4 else 384,  # deeper rows are longer
+                in_dims=dims[fin], bs=128, span=256,
+                jbcap=128 if fin == 4 else 48, jwin=2,
             )
             if span
             else window_tables(
@@ -190,12 +191,14 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         stats["sites"].append(n_s)
         stats["dropped"].append(n_d)
         if span:
-            # strided intervals include skipped interleaved rows -> wider
-            # span; occupancy is folded into the down conv itself
+            # strided out-blocks crossing a y/z row boundary skip huge key
+            # ranges (probe_spans: p999 up to ~25k rows) -> generous jumbo
+            # coverage; occupancy is folded into the down conv itself
             # (conv_with_occ), so no separate occ pass runs here
             down_tables[fout] = make_span_plan(
                 s_in.keys, nxt.coords, nxt.valid, _K3_DOWN,
                 stride3=_S2, pad3=_P0, in_dims=dims[fin], bs=128, span=256,
+                jbcap=160 if fout == 8 else 96, jwin=3,
             )
         else:
             down_tables[fout] = window_tables(
@@ -209,7 +212,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
     tables[8] = (
         make_span_plan(
             s8.keys, s8.coords, s8.valid, _K3_BLOCK, in_dims=dims[8],
-            bs=128, span=512,  # L8 rows are near x-dense
+            bs=128, span=384, jbcap=64, jwin=2,  # L8 rows are near x-dense
         )
         if span
         else window_tables(

@@ -180,7 +180,8 @@ def unet3d_forward(
         tables[fin] = (
             make_span_plan(
                 s_in.keys, s_in.coords, s_in.valid, _K3, in_dims=dims[fin],
-                bs=128, span=256 if fin <= 4 else 384,
+                bs=128, span=256,
+                jbcap=96 if fin == 4 else 48, jwin=2,
             )
             if span
             else window_tables(
@@ -198,7 +199,9 @@ def unet3d_forward(
         down_tables[stride] = (
             make_span_plan(
                 s_in.keys, nxt.coords, nxt.valid, _K3,
-                stride3=_S2, pad3=_P1, in_dims=dims[fin], bs=128, span=256,
+                stride3=_S2, pad3=_P1, in_dims=dims[fin], bs=128,
+                span=384 if stride == 8 else 256,
+                jbcap=112 if stride == 8 else 80, jwin=3,
             )
             if span
             else window_tables(
@@ -213,7 +216,7 @@ def unet3d_forward(
     tables[8] = (
         make_span_plan(
             s8.keys, s8.coords, s8.valid, _K3, in_dims=dims[8],
-            bs=128, span=512,
+            bs=128, span=384, jbcap=64, jwin=2,
         )
         if span
         else window_tables(
@@ -229,6 +232,7 @@ def unet3d_forward(
         make_span_plan(
             s8.keys, sites_out.coords, sites_out.valid, _KZ,
             stride3=_SZ, pad3=_PZ, in_dims=dims[8], bs=128, span=384,
+            jbcap=48, jwin=3,
         )
         if span
         else window_tables(

@@ -46,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .slab import Slab, _groups_yz
+from .slab import INT32_MAX, Slab, _compact_by_sort, _groups_yz
 from .tensor import KEY_SENTINEL
 
 BS = 128  # sites per block
@@ -228,21 +228,25 @@ class SpanPlan:
     sb: jax.Array  # (G, NB) int32 span starts (16-row tile units)
     se: jax.Array  # (G, NB) int32 span ends (16-row tile units, ceil)
     gp: jax.Array  # (G, 2) int32 (ky_i, kz_i)
-    n_overflow: jax.Array  # () int32 rows beyond even the dual-span cover
+    n_overflow: jax.Array  # () int32 coverage-gate counter (0 == exact)
+    jblk: jax.Array  # (jbcap,) int32 jumbo block indices, -1 padding
+    jstart: jax.Array  # (G, jbcap, jwin) int32 jumbo window starts (tiles)
+    jexcl: jax.Array  # (G, jbcap, jwin) int32 exclusion lower bounds (rows)
     kernel3: tuple = dataclasses.field(metadata={"static": True})
     stride3: tuple = dataclasses.field(metadata={"static": True})
     pad3: tuple = dataclasses.field(metadata={"static": True})
     in_dims: tuple = dataclasses.field(metadata={"static": True})
     span: int = dataclasses.field(default=SPAN, metadata={"static": True})
     bs: int = dataclasses.field(default=BS, metadata={"static": True})
+    jbcap: int = dataclasses.field(default=0, metadata={"static": True})
+    jwin: int = dataclasses.field(default=4, metadata={"static": True})
 
     def conv(self, x: Slab, weight, out: Slab, kernel, chunk=None) -> Slab:
         """window_conv-compatible entry (chunk ignored)."""
         kt = kernel[3] if len(kernel) == 4 else 1
         feats = span_conv_apply(
             x.keys, x.mask_feats(), out.coords, out.valid, weight,
-            self.sb, self.se, self.gp, x.T, self.kernel3, kt,
-            self.stride3, self.pad3, self.in_dims, self.span, self.bs,
+            self, x.T, kt,
         )
         res = out.replace_feats(feats)
         return res.replace_feats(res.mask_feats())
@@ -270,9 +274,7 @@ class SpanPlan:
             .at[:, cin, cout].set(1.0)
         )
         feats = span_conv_apply(
-            x.keys, fa, out.coords, out.valid, wa,
-            self.sb, self.se, self.gp, T, self.kernel3, 1,
-            self.stride3, self.pad3, self.in_dims, self.span, self.bs,
+            x.keys, fa, out.coords, out.valid, wa, self, T, 1
         )  # (V, T*(cout+1))
         co = cout + 1
         out_cols = []
@@ -291,7 +293,8 @@ class SpanPlan:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "kernel3", "stride3", "pad3", "in_dims", "span", "bs", "exact_stats",
+        "kernel3", "stride3", "pad3", "in_dims", "span", "bs", "jbcap",
+        "jwin", "exact_stats",
     ),
 )
 def make_span_plan(
@@ -304,27 +307,38 @@ def make_span_plan(
     in_dims=None,
     span: int = SPAN,
     bs: int = BS,
+    jbcap: int | None = None,
+    jwin: int = 4,
     exact_stats: bool = False,
 ) -> SpanPlan:
     """Compute per-(group, block) span starts by bisection over the sorted
     input keys.
 
-    For rare blocks whose key interval exceeds the span (a skipped z/y
-    region), the window anchors at whichever end covers the block's
-    MEDIAN site, keeping the majority side; the minority's contributions
-    drop and are counted. The production overflow counter is a cheap
-    proxy (3 sentinel sites per block: first/median/last); pass
-    exact_stats=True (tools/sweeps) for the exact per-site coverage count,
-    which materializes a (G, V) query array (~60 ms at L1 scale).
+    Main pass: every block's window is HEAD-anchored at its first site's
+    key position. Blocks whose key interval exceeds the span (a skipped
+    z/y region between the block's rows) become JUMBO blocks: a second
+    kernel pass gives each of them `jwin` extra sentinel-anchored windows
+    (anchors at evenly spaced sites, so windows track where the block's
+    queries actually land). Query positions are monotone within a block
+    (site keys sorted; y/z clamped to the grid), so coverage is certified
+    by jwin+1 segment conditions per (group, block); `n_overflow` counts
+    (a) jump blocks beyond `jbcap` and (b) violated segments — 0 means
+    EXACTLY no dropped contributions, and bench.py gates on it.
+
+    Pass exact_stats=True (tools/sweeps) for a per-site uncovered-row
+    count (materializes (G, V) positions — tools only).
     """
     kx = int(kernel3[0])
     if pad3 is None:
         pad3 = tuple((k - 1) // 2 for k in kernel3)
     groups = _groups_yz(kernel3)
+    G = len(groups)
     V = out_coords.shape[0]
     Vin = x_keys.shape[0]
     NB = -(-V // bs)
     Vp = NB * bs
+    if jbcap is None:
+        jbcap = 0 if NB < 4 else min(128, max(16, -(-NB // 16)))
 
     def padV(a, fill):
         return jnp.concatenate(
@@ -341,101 +355,392 @@ def make_span_plan(
     kz = jnp.asarray([g[1] for g in groups], jnp.int32)
 
     def block_q(c3, v, fill):
-        iy = c3[:, 1] * sy - py + ky[:, None]
-        iz = c3[:, 2] * sz - pz + kz[:, None]
+        # y/z CLAMPED to the grid: clamping keeps q monotone across the
+        # out-of-range boundary rows (where the raw row index would alias
+        # into a neighbouring z-slice), which the sentinel-coverage logic
+        # relies on; the kernel masks those rows' queries anyway.
+        iy = jnp.clip(c3[:, 1] * sy - py + ky[:, None], 0, Y - 1)
+        iz = jnp.clip(c3[:, 2] * sz - pz + kz[:, None], 0, Z - 1)
         q = (iz * Y + iy) * X + (c3[:, 0] * sx - px)[None]
-        return jnp.where(v[None] > 0, q, fill)  # (G, NB)
+        return jnp.where(v[None] > 0, q, fill)  # (G, ...)
 
     BIG = jnp.iinfo(jnp.int32).max
-    # per-block last/median VALID site (q is monotone within a block for
-    # every group, so three sentinel sites characterize the interval)
     vblk = ovalid.reshape(NB, bs)
     nvalid_blk = vblk.sum(axis=1)  # (NB,)
     base = jnp.arange(NB, dtype=jnp.int32) * bs
     last_i = base + jnp.maximum(nvalid_blk - 1, 0)
-    mid_i = base + jnp.maximum(nvalid_blk // 2 - 0, 0)
 
     firsts = block_q(ocoords[::bs], ovalid[::bs], BIG)
     lasts = block_q(
         jnp.take(ocoords, last_i, axis=0), (nvalid_blk > 0).astype(jnp.int32), -1
     )
-    mids = block_q(
-        jnp.take(ocoords, mid_i, axis=0), (nvalid_blk > 0).astype(jnp.int32), -1
-    )
     n_iter = max(1, math.ceil(math.log2(Vin + 1)))
-    # one stacked bisection serves all three query sets
-    pos3 = _bisect(
-        x_keys, jnp.stack([firsts, lasts + kx, mids]), n_iter
-    )
-    sb_head = pos3[0] // 16  # tile units
-    send = pos3[1]
-    mid_pos = pos3[2]
-    sb_tail = jnp.maximum(send - span, 0) // 16
-    jump = send - sb_head * 16 > span
-    # anchor at the end that covers the median site
-    use_tail = jump & (mid_pos >= sb_head * 16 + span)
-    sb = jnp.where(use_tail, sb_tail, sb_head)
+    pos2 = _bisect(x_keys, jnp.stack([firsts, lasts + kx]), n_iter)
+    sb = pos2[0] // 16  # head-anchored, tile units
+    send = pos2[1]
     se = -(-send // 16)
-
-    if exact_stats:
-        # exact: (site, group) pairs whose present window cells are not
-        # fully inside the chosen fetch window
-        iy_all = ocoords[:, 1] * sy - py + ky[:, None]
-        iz_all = ocoords[:, 2] * sz - pz + kz[:, None]
-        q_all = (iz_all * Y + iy_all) * X + (ocoords[:, 0] * sx - px)[None]
-        q_all = jnp.where(ovalid[None] > 0, q_all, -1)
-        q_blk = q_all.reshape(-1, NB, bs)
-        kpad2 = jnp.concatenate(
-            [x_keys, jnp.full((1,), 0x7FFFFFFF, jnp.int32)]
-        )
-        kend = jnp.take(kpad2, jnp.minimum(sb * 16 + span, Vin))
-        kbefore = jnp.where(
-            sb > 0, jnp.take(kpad2, jnp.clip(sb * 16 - 1, 0, Vin)), -1
-        )
-        ok = (
-            (q_blk + kx <= kend[..., None])
-            & (kbefore[..., None] < q_blk)
-            & (q_blk >= 0)
-        )
-        n_overflow = jnp.sum((q_blk >= 0).astype(jnp.int32)) - jnp.sum(ok)
-    else:
-        # proxy: jump blocks times half a block (the anchored side is kept)
-        n_overflow = jnp.sum(jnp.where(jump, bs // 2, 0))
+    live_b = nvalid_blk > 0
+    jump = (send - sb * 16 > span) & live_b[None]  # (G, NB)
 
     gp = jnp.stack([ky, kz], axis=1)  # (G, 2)
+
+    # ---------------- jumbo pass metadata ------------------------------
+    # Each jump block gets 2*jwin - 1 extra windows: the block is split at
+    # jwin+1 anchor positions (first site, jwin-1 interior sentinels, end);
+    # every inter-anchor segment gets a HEAD window at its start anchor
+    # (segment 0's head is the main window itself) and a TAIL window ending
+    # at its end anchor — so a segment containing one big position jump
+    # (the z/y-row-skip case) is covered at both ends. Windows are sorted
+    # and chained with exclusion bounds (no double counting), and the
+    # remaining union gaps are checked EXACTLY against the block's site
+    # queries — n_overflow counts truly-uncovered (site, group) pairs.
+    JW = 2 * jwin - 1
+    if jbcap > 0:
+        jump_b = jump.any(axis=0)  # (NB,)
+        n_jumbo = jnp.sum(jump_b)
+        iota_nb = jnp.arange(NB, dtype=jnp.int32)
+        sorted_blk = _compact_by_sort(
+            jnp.where(jump_b, iota_nb, INT32_MAX), iota_nb, jbcap, 0
+        )
+        jblk = jnp.where(jnp.arange(jbcap) < n_jumbo, sorted_blk, -1)
+        bsafe = jnp.maximum(jblk, 0)
+
+        nv_j = jnp.take(nvalid_blk, bsafe)  # (jbcap,)
+        sb_j = jnp.take(sb, bsafe, axis=1)  # (G, jbcap)
+        send_j = jnp.take(send, bsafe, axis=1)  # (G, jbcap)
+        spos = []
+        for w in range(1, jwin):
+            off = jnp.minimum(
+                (w * (bs - 1)) // jwin, jnp.maximum(nv_j - 1, 0)
+            )
+            idx = bsafe * bs + off
+            qw = block_q(
+                jnp.take(ocoords, idx, axis=0), (nv_j > 0).astype(jnp.int32),
+                BIG,
+            )  # (G, jbcap)
+            spos.append(qw)
+        if spos:
+            pos_w = _bisect(x_keys, jnp.stack(spos), n_iter)
+            # monotone envelope (clamped q should already be sorted)
+            env = [pos_w[0]]
+            for w in range(1, jwin - 1):
+                env.append(jnp.maximum(env[-1], pos_w[w]))
+        else:
+            env = []
+        # anchors p_0..p_jwin: p_0 = main head row, p_jwin = send
+        anchors = [sb_j * 16] + env + [send_j]
+        max_tile = Vin // 16
+        starts = []
+        for s in range(1, jwin):  # head windows of segments 1..jwin-1
+            starts.append(anchors[s] // 16)
+        for s in range(jwin):  # tail windows of all segments
+            endrow = anchors[s + 1] + (kx if s + 1 < jwin else 0)
+            starts.append(-(-(endrow - span) // 16))
+        jstart = jnp.clip(jnp.stack(starts), sb_j[None], max_tile)
+        jstart = jnp.sort(jstart, axis=0)  # (JW, G, jbcap)
+        main_end = sb_j * 16 + span  # (G, jbcap)
+        jexcl = [main_end]
+        for w in range(1, JW):
+            jexcl.append(jnp.maximum(jexcl[-1], jstart[w - 1] * 16 + span))
+        jexcl = jnp.stack(jexcl)  # (JW, G, jbcap)
+
+        # exact residual-gap check: union of (main + jumbo windows) has
+        # JW+1 candidate gaps; count block sites whose key window reaches
+        # into any gap (kernel-real queries: unclamped rows + validity)
+        site_idx = (
+            bsafe[:, None] * bs + jnp.arange(bs, dtype=jnp.int32)[None]
+        ).reshape(-1)
+        jc3 = jnp.take(ocoords, site_idx, axis=0)
+        jv = jnp.take(ovalid, site_idx)
+        iyj = jc3[:, 1] * sy - py + ky[:, None]
+        izj = jc3[:, 2] * sz - pz + kz[:, None]
+        rowok_j = (
+            (jv[None] > 0)
+            & (iyj >= 0) & (iyj < Y) & (izj >= 0) & (izj < Z)
+        )
+        qj = (izj * Y + iyj) * X + (jc3[:, 0] * sx - px)[None]
+        qj = qj.reshape(G, jbcap, bs)
+        rowok_j = rowok_j.reshape(G, jbcap, bs)
+
+        kpad_keys = jnp.concatenate(
+            [x_keys, jnp.full((1,), 0x7FFFFFFF, jnp.int32)]
+        )
+
+        def key_at(pos):  # keys[pos] with end clamp
+            return jnp.take(kpad_keys, jnp.clip(pos, 0, Vin))
+
+        run_end = main_end  # (G, jbcap) union coverage high-water mark
+        uncov = jnp.zeros((G, jbcap, bs), bool)
+        for w in range(JW + 1):
+            gap_lo = run_end
+            if w < JW:
+                gap_hi = jstart[w] * 16
+                run_end = jnp.maximum(run_end, jstart[w] * 16 + span)
+            else:
+                gap_hi = send_j
+            has_gap = gap_hi > gap_lo
+            # site reaches into rows [gap_lo, gap_hi) iff its key window
+            # [q, q+kx) intersects keys[gap_lo .. gap_hi)
+            klo = key_at(gap_lo)
+            khi = key_at(gap_hi - 1)
+            hit = (
+                has_gap[..., None]
+                & (qj + (kx - 1) >= klo[..., None])
+                & (qj <= khi[..., None])
+            )
+            uncov = uncov | (hit & rowok_j)
+        real = (jblk >= 0)[None, :, None]
+        n_viol = jnp.sum(jnp.where(real, uncov, False))
+
+        n_overflow = jnp.maximum(n_jumbo - jbcap, 0) * bs + n_viol
+        # (G, jbcap, JW) layouts for kernel scalar prefetch
+        jstart = jnp.moveaxis(jstart, 0, -1)
+        jexcl = jnp.moveaxis(jexcl, 0, -1)
+    else:
+        n_overflow = jnp.sum(jnp.where(jump, bs, 0))
+        jblk = jnp.zeros((0,), jnp.int32)
+        jstart = jnp.zeros((G, 0, JW), jnp.int32)
+        jexcl = jnp.zeros((G, 0, JW), jnp.int32)
+
+    if exact_stats:
+        n_overflow = _exact_uncovered(
+            x_keys, ocoords, ovalid, ky, kz, kx, stride3, pad3, in_dims,
+            span, bs, sb, jblk, jstart, n_iter,
+        )
+
     return SpanPlan(
         sb=sb, se=se, gp=gp, n_overflow=n_overflow,
+        jblk=jblk, jstart=jstart, jexcl=jexcl,
         kernel3=tuple(kernel3), stride3=tuple(stride3), pad3=tuple(pad3),
-        in_dims=tuple(in_dims), span=span, bs=bs,
+        in_dims=tuple(in_dims), span=span, bs=bs, jbcap=jbcap, jwin=jwin,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "T", "kernel3", "kt", "stride3", "pad3", "in_dims", "span", "bs",
-    ),
-)
+def _exact_uncovered(
+    x_keys, ocoords, ovalid, ky, kz, kx, stride3, pad3, in_dims, span, bs,
+    sb, jblk, jstart, n_iter,
+):
+    """Tools-only exact count of (site, group) WINDOW ROWS not covered by
+    the main window plus the block's jumbo windows (0 when the production
+    proxy is 0; the proxy is the certifying gate)."""
+    X, Y, Z = in_dims
+    sx, sy, sz = stride3
+    px, py, pz = pad3
+    Vp = ocoords.shape[0]
+    NB = Vp // bs
+    jbcap = jblk.shape[0]
+    jwin = jstart.shape[-1] if jbcap else 0
+
+    iy = ocoords[:, 1] * sy - py + ky[:, None]
+    iz = ocoords[:, 2] * sz - pz + kz[:, None]
+    row_ok = (
+        (ovalid[None] > 0)
+        & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
+    )
+    q_all = (iz * Y + iy) * X + (ocoords[:, 0] * sx - px)[None]
+    q_all = jnp.where(row_ok, q_all, -1)
+    pos = _bisect(x_keys, jnp.stack([q_all, q_all + kx]), n_iter)
+    plo, phi = pos[0], pos[1]  # (G, Vp) row ranges
+
+    # window list per (g, block): main + jwin jumbo (or none)
+    blk = jnp.arange(Vp, dtype=jnp.int32) // bs  # (Vp,)
+    a_main = jnp.take_along_axis(sb, blk[None], axis=1) * 16  # (G, Vp)
+    wins_a = [a_main]
+    if jbcap:
+        idx = jnp.where(jblk >= 0, jblk, NB)
+        inv = jnp.full((NB + 1,), jbcap, jnp.int32).at[idx].set(
+            jnp.arange(jbcap, dtype=jnp.int32), mode="drop"
+        )[:NB]
+        jslot = jnp.take(inv, blk)  # (Vp,) jumbo slot or jbcap
+        jstart_pad = jnp.concatenate(
+            [jstart, jnp.full((jstart.shape[0], 1, jwin), -(10**9) // 16,
+                              jnp.int32)], axis=1,
+        )
+        for w in range(jwin):
+            aw = jnp.take_along_axis(
+                jstart_pad[:, :, w], jslot[None], axis=1
+            ) * 16
+            wins_a.append(aw)
+
+    uncovered = jnp.zeros((), jnp.int32)
+    for d in range(kx):
+        p = plo + d
+        active = (p < phi) & row_ok
+        inside = jnp.zeros_like(active)
+        for a in wins_a:
+            inside = inside | ((p >= a) & (p < a + span))
+        uncovered = uncovered + jnp.sum(active & ~inside)
+    return uncovered
+
+
+def _jumbo_kernel(
+    # scalar prefetch
+    jblk_ref,  # (jbcap,) int32 jumbo block index or -1
+    jst_ref,  # (GP, jbcap, JW) int32 window starts (16-row tile units)
+    jex_ref,  # (GP, jbcap, JW) int32 exclusion lower bounds (absolute rows)
+    gp_ref,  # (GP, 2) int32 (ky_i, kz_i)
+    # blocked inputs
+    site_ref,  # (1, 8, BS) int32
+    wg_ref,  # (GI, kx*TCP, TOP)
+    io_ref,  # (BS, TOP) f32 — the main kernel's output block (aliased)
+    # ANY inputs
+    keys2_ref,
+    feats_ref,
+    # output (aliased onto the main output buffer)
+    out_ref,  # (BS, TOP) f32
+    # scratch
+    kscr,  # (2, 8, SPAN) int32
+    fscr,  # (2, SPAN, TCP)
+    sacc,  # (BS, kx*TCP) f32 per-group src accumulator across windows
+    acc_ref,  # (BS, TOP) f32
+    sems,  # DMA (2, 2)
+    *,
+    kx,
+    G,
+    GI,
+    JW,
+    span,
+    bs,
+    in_dims,
+    stride3,
+    pad3,
+):
+    """Second-pass coverage for jump blocks: JW sentinel-anchored windows
+    per (group, block), equality extraction with an absolute-row exclusion
+    bound so rows already covered by the main window (or an earlier jumbo
+    window) are never double counted. Accumulates ON TOP of the main
+    kernel's output via input/output aliasing (window contributions cross
+    pl.when regions through the `sacc` scratch)."""
+    SPAN = span
+    j = pl.program_id(0)
+    go = pl.program_id(1)
+    GO = -(-G // GI)
+    X, Y, Z = in_dims
+    sx, sy, sz = stride3
+    px, py, pz = pad3
+    TCP = fscr.shape[-1]
+
+    seq = [(gi, w) for gi in range(GI) for w in range(JW)]
+
+    def copies(it, slot):
+        gi, w = seq[it]
+        r = jst_ref[go * GI + gi, j, w]
+        s = pl.multiple_of(r * 16, 16)
+        r8 = pl.multiple_of((r // 8) * 8, 8)
+        ck = pltpu.make_async_copy(
+            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
+        )
+        cf = pltpu.make_async_copy(
+            feats_ref.at[pl.ds(s, SPAN), :], fscr.at[slot], sems.at[slot, 1]
+        )
+        return ck, cf
+
+    live = jblk_ref[j] >= 0
+    ox = site_ref[0, 0, :]
+    oy = site_ref[0, 1, :]
+    oz = site_ref[0, 2, :]
+    valid = site_ref[0, 3, :] > 0
+    xbase = ox * sx - px
+
+    for c in copies(0, 0):
+        c.start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
+    for gi in range(GI):
+        g = go * GI + gi
+        ky_i = gp_ref[g, 0]
+        kz_i = gp_ref[g, 1]
+        iy = oy * sy - py + ky_i
+        iz = oz * sz - pz + kz_i
+        row_ok = valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
+        q = (iz * Y + iy) * X + xbase
+
+        for w in range(JW):
+            it = gi * JW + w
+            slot = it % 2
+            if it + 1 < GI * JW:
+                for c in copies(it + 1, 1 - slot):
+                    c.start()
+            for c in copies(it, slot):
+                c.wait()
+            r = jst_ref[g, j, w]
+            excl = jex_ref[g, j, w]
+
+            @pl.when(live)
+            def _(w=w, slot=slot, row_ok=row_ok, q=q, r=r, excl=excl):
+                subl = jax.lax.broadcasted_iota(jnp.int32, (8, SPAN), 0)
+                kspan = jnp.sum(
+                    jnp.where(subl == (r - (r // 8) * 8), kscr[slot], 0),
+                    axis=0, keepdims=True,
+                )  # (1, SPAN)
+                # exclusion: lanes whose absolute row sits below the bound
+                # were already covered by an earlier window — mask them to
+                # a value no valid query can equal
+                kspan = jnp.where(r * 16 + lane >= excl, kspan, -2)
+                f = fscr[slot]
+                for d in range(kx):
+                    ok_d = row_ok & (xbase + d >= 0) & (xbase + d < X)
+                    qd = jnp.where(ok_d, q + d, -0x7FFFFFF)
+                    oh = (kspan == qd[:, None]).astype(wg_ref.dtype)
+                    p = jax.lax.dot_general(
+                        oh, f, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if w == 0:
+                        sacc[:, d * TCP : (d + 1) * TCP] = p
+                    else:
+                        sacc[:, d * TCP : (d + 1) * TCP] = (
+                            sacc[:, d * TCP : (d + 1) * TCP] + p
+                        )
+
+        @pl.when(live)
+        def _(gi=gi):
+            src = sacc[:].astype(wg_ref.dtype)
+            contrib = jax.lax.dot_general(
+                src, wg_ref[gi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if gi == 0:
+                if GO == 1:
+                    acc_ref[:] = io_ref[:] + contrib
+                else:
+
+                    @pl.when(go == 0)
+                    def _():
+                        acc_ref[:] = io_ref[:] + contrib
+
+                    @pl.when(go > 0)
+                    def _():
+                        acc_ref[:] = out_ref[:] + contrib
+            else:
+                acc_ref[:] = acc_ref[:] + contrib
+
+    @pl.when(live)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+    # dummy slot: pass the main output through unchanged
+    @pl.when(jnp.logical_not(live) & (go == 0))
+    def _():
+        out_ref[:] = io_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("T", "kt"))
 def span_conv_apply(
     x_keys,  # (Vin,) int32 sorted input site keys
     x_feats,  # (Vin, T*cin) input features (zeros at padding/non-occ)
     out_coords,  # (V, 3)
     out_valid,  # (V,)
     weight,  # (K, cin, cout)
-    sb,  # (G, NB) from make_span_plan
-    se,  # (G, NB)
-    gp,  # (G, 2)
+    plan: SpanPlan,
     T: int,
-    kernel3,
     kt: int = 1,
-    stride3=(1, 1, 1),
-    pad3=None,
-    in_dims=None,
-    span: int = SPAN,
-    bs: int = BS,
 ):
-    """Run the span kernel with a precomputed plan. Returns out_feats
-    (V, T*cout) f32."""
+    """Run the span kernel (+ jumbo coverage pass) with a precomputed
+    plan. Returns out_feats (V, T*cout) f32."""
+    kernel3 = plan.kernel3
+    span, bs = plan.span, plan.bs
+    stride3, pad3, in_dims = plan.stride3, plan.pad3, plan.in_dims
     kx = int(kernel3[0])
     groups = _groups_yz(kernel3)
     G = len(groups)
@@ -450,6 +755,9 @@ def span_conv_apply(
     V = out_coords.shape[0]
     NB = -(-V // bs)
     Vp = NB * bs
+    jbcap = plan.jbcap
+    JW = plan.jstart.shape[-1]  # 2*jwin - 1 head+tail segment windows
+    NBP = NB + jbcap  # jumbo dummy slots park on trailing trash blocks
 
     dtype = weight.dtype if weight.dtype == jnp.bfloat16 else jnp.float32
     wg = fold_weights(weight, kx, G, kt, T, dtype)  # (G, kx*TC, TO)
@@ -492,12 +800,11 @@ def span_conv_apply(
         axis=1,
     )  # (NB, 8, bs)
 
-    # pack span start + length; sign bit marks DEAD blocks (no valid output
-    # site — slab validity is a sorted prefix), whose matmuls the kernel
-    # skips entirely (DMAs still issue unconditionally; PERF.md Mosaic note)
+    # pack span start; sign bit marks DEAD blocks (no valid output site —
+    # slab validity is a sorted prefix), whose matmuls the kernel skips
+    # entirely (DMAs still issue unconditionally; PERF.md Mosaic note)
     dead = ovalid.reshape(NB, bs).sum(axis=1) == 0  # (NB,)
-    sbse = sb | jnp.minimum(se - sb, 0x7FFF) << 16
-    sbse = jnp.where(dead[None, :], sbse | (-0x80000000), sbse)
+    sbse = jnp.where(dead[None, :], plan.sb | (-0x80000000), plan.sb)
 
     # groups per grid step: as many as keep this step's folded weights
     # within a ~4 MB VMEM budget (the whole group loop then runs inside one
@@ -506,6 +813,8 @@ def span_conv_apply(
     GI = max(1, min(G, (4 << 20) // per_g))
     GO = -(-G // GI)
     GP = GO * GI
+    gp = plan.gp
+    jstart, jexcl = plan.jstart, plan.jexcl
     if GP > G:  # pad: weights zero (contribute nothing), spans copy row 0
         wg = jnp.concatenate(
             [wg, jnp.zeros((GP - G, kx * TCP, TOP), wg.dtype)]
@@ -514,6 +823,13 @@ def span_conv_apply(
             [sbse, jnp.broadcast_to(sbse[:1], (GP - G, NB))]
         )
         gp = jnp.concatenate([gp, jnp.zeros((GP - G, 2), jnp.int32)])
+        if jbcap:
+            jstart = jnp.concatenate(
+                [jstart, jnp.broadcast_to(jstart[:1], (GP - G, jbcap, JW))]
+            )
+            jexcl = jnp.concatenate(
+                [jexcl, jnp.broadcast_to(jexcl[:1], (GP - G, jbcap, JW))]
+            )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -540,13 +856,54 @@ def span_conv_apply(
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Vp, TOP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NBP * bs, TOP), jnp.float32),
         interpret=_interpret(),
     )(
         sbse, gp,
         site_pack,
         wg, keys2, feats_pad,
     )
+
+    if jbcap:
+        def _blk(j, go, jb, *_):
+            return (jnp.where(jb[j] >= 0, jb[j], NB + j), 0)
+
+        jgrid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,  # jblk, jstart, jexcl, gp
+            grid=(jbcap, GO),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, bs),
+                    lambda j, go, jb, *_: (jnp.clip(jb[j], 0, NB - 1), 0, 0),
+                ),
+                pl.BlockSpec((GI, kx * TCP, TOP), lambda j, go, *_: (go, 0, 0)),
+                pl.BlockSpec((bs, TOP), _blk),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((bs, TOP), _blk),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, span), jnp.int32),
+                pltpu.VMEM((2, span, TCP), dtype),
+                pltpu.VMEM((bs, kx * TCP), jnp.float32),
+                pltpu.VMEM((bs, TOP), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        jkern = functools.partial(
+            _jumbo_kernel, kx=kx, G=G, GI=GI, JW=JW, span=span, bs=bs,
+            in_dims=in_dims, stride3=stride3, pad3=pad3,
+        )
+        out = pl.pallas_call(
+            jkern,
+            grid_spec=jgrid,
+            out_shape=jax.ShapeDtypeStruct((NBP * bs, TOP), jnp.float32),
+            input_output_aliases={6: 0},
+            interpret=_interpret(),
+        )(
+            plan.jblk, jstart, jexcl, gp,
+            site_pack, wg, out, keys2, feats_pad,
+        )
     return out[:V, :TO]
 
 
@@ -573,20 +930,3 @@ def span_conv_slab(
     return plan.conv(x, weight, out, kernel), plan.n_overflow
 
 
-def span_strided_occ(x: Slab, plan: SpanPlan, out: Slab) -> Slab:
-    """out.occ = OR over gathered children's occupancy, via the span kernel
-    with all-ones weights on occ-as-features (replaces strided_occ for the
-    span engine)."""
-    kernel3 = plan.kernel3
-    K = int(np.prod(kernel3))
-    occ_feats = jnp.where(
-        x.valid[:, None], x.occ, False
-    ).astype(jnp.float32)  # (V, T*1)
-    ones = jnp.ones((K, 1, 1), jnp.float32)
-    acc = span_conv_apply(
-        x.keys, occ_feats, out.coords, out.valid, ones,
-        plan.sb, plan.se, plan.gp, x.T, kernel3, 1,
-        plan.stride3, plan.pad3, plan.in_dims, plan.span, plan.bs,
-    )  # (V, T)
-    occ = (acc > 0.5) & out.valid[:, None]
-    return Slab(out.keys, out.coords, occ, out.feats, out.valid, out.dims, out.T)

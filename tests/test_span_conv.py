@@ -163,11 +163,12 @@ def test_model_span_vs_window_engine():
     )
 
 
-def test_span_dense_strided_wide_span():
+def test_span_dense_strided_narrow_span_jumbo_covers():
     """Dense strided conv: out-block key intervals include skipped
-    interleaved rows; a span sized to the measured need must cover all
-    contributions (and the overflow counter must report exactly the
-    uncovered rows for narrower spans)."""
+    interleaved rows, overflowing a narrow main span. The jumbo sentinel
+    windows must certify coverage (n_overflow == 0) AND the conv must
+    match the window oracle exactly; with jumbo disabled the counter must
+    report the uncovered blocks instead."""
     rng = np.random.default_rng(9)
     cin, cout = 3, 4
     slab = _random_slab(rng, 2600, 2048, cin)
@@ -187,27 +188,57 @@ def test_span_dense_strided_wide_span():
 
     from insmos_tpu.sparse.span_conv import make_span_plan
 
-    probe = make_span_plan(
+    nojumbo = make_span_plan(
         slab.keys, out.coords, out.valid, (2, 2, 2),
         stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
+        jbcap=0,
     )
-    assert int(probe.n_overflow) > 0  # narrow span drops (and reports) rows
-    # true need from a head-anchored (no-jump) wide probe
-    wide = make_span_plan(
-        slab.keys, out.coords, out.valid, (2, 2, 2),
-        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=4096, bs=64,
-    )
-    need = (np.asarray(wide.se) - np.asarray(wide.sb)) * 16
-    span = int(-(-int(need.max()) // 16) * 16 + 16)
+    assert int(nojumbo.n_overflow) > 0  # narrow span drops (and reports)
+
     plan = make_span_plan(
         slab.keys, out.coords, out.valid, (2, 2, 2),
-        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=span, bs=64,
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
+        jbcap=16, jwin=6,
     )
-    assert int(plan.n_overflow) == 0
+    exact = make_span_plan(
+        slab.keys, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
+        jbcap=16, jwin=6, exact_stats=True,
+    )
+    assert int(plan.n_overflow) == 0, int(plan.n_overflow)
+    assert int(exact.n_overflow) == 0, int(exact.n_overflow)
     got = plan.conv(slab, w, out, kernel)
     np.testing.assert_allclose(
         np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
     )
+
+
+def test_span_jumbo_capacity_overflow_reported():
+    """More jump blocks than jbcap -> the counter reports them (never
+    silent)."""
+    rng = np.random.default_rng(21)
+    cin, cout = 3, 2
+    slab = _random_slab(rng, 2600, 2048, cin)
+    kernel = (2, 2, 2, 1)
+    dims2 = tuple(-(-d // 2) for d in DIMS3)
+    out, _, _ = derive_strided_sites(
+        slab, (2, 2, 2), (2, 2, 2), (0, 0, 0), dims2, 1024
+    )
+    from insmos_tpu.sparse.span_conv import make_span_plan
+
+    full = make_span_plan(
+        slab.keys, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
+        jbcap=16, jwin=6,
+    )
+    n_jumbo = int((np.asarray(full.jblk) >= 0).sum())
+    assert n_jumbo > 1
+    tiny = make_span_plan(
+        slab.keys, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
+        jbcap=1, jwin=6,
+    )
+    assert int(tiny.n_overflow) >= (n_jumbo - 1) * 64
 
 
 def test_conv_with_occ_matches_window_plus_occ():

@@ -64,6 +64,34 @@ def main():
     # hardware MXU dots run at DEFAULT precision (bf16 passes) vs the
     # window engine's precision="highest"; ~5e-3 abs is expected rounding
     assert d < 2e-2, d
+    print("subm OK", flush=True)
+
+    # ---- jumbo path: narrow-span strided conv forces jump blocks ------
+    from insmos_tpu.sparse.slab import derive_strided_sites
+    from insmos_tpu.sparse.span_conv import make_span_plan
+
+    dims2 = tuple(-(-x // 2) for x in dims)
+    sout, _, _ = jax.jit(
+        lambda s: derive_strided_sites(s, (2, 2, 2), (2, 2, 2), (0, 0, 0), dims2, 2048)
+    )(slab)
+    w2 = rng.normal(0, 0.1, (8, C, CO)).astype(np.float32)
+    plan = make_span_plan(
+        slab.keys, sout.coords, sout.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=dims, span=64, bs=64,
+        jbcap=32, jwin=4,
+    )
+    print("jumbo blocks:", int((np.asarray(plan.jblk) >= 0).sum()),
+          "overflow:", int(plan.n_overflow), flush=True)
+    assert int(plan.n_overflow) == 0
+    got2 = plan.conv(slab, jnp.asarray(w2), sout, (2, 2, 2, 1))
+    tbl2 = window_tables(
+        site_grid(slab), dims, sout.coords, sout.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), vin=cap,
+    )
+    ref2 = window_conv(slab, jnp.asarray(w2), tbl2, sout, (2, 2, 2, 1))
+    d2 = np.abs(np.asarray(got2.feats) - np.asarray(ref2.feats)).max()
+    print(f"jumbo max |delta| vs window engine: {d2:.6f}")
+    assert d2 < 2e-2, d2
     print("OK")
 
 
