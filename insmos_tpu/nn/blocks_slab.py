@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..sparse.slab import Slab, WindowTables, inverse_s2k2_conv
+from ..sparse.slab import Slab, WindowTables, inverse_s2k2_conv, slice_slots
 from .layers import mm, relu
 
 
@@ -63,6 +63,35 @@ def subm_block_slab(p, s, x: Slab, kernel, tbl: WindowTables, out: Slab | None =
     f, bn_s = _bn_slab(p["bn"], s["bn"], y, train=train, bn_args=bn_args)
     y = y.replace_feats(relu(f))
     return y.replace_feats(y.mask_feats()), {"bn": bn_s}
+
+
+def basic_block_slab_pruned(p, s, x: Slab, kernel, tbl, mid: Slab, out: Slab,
+                            *, train, bn_args, t_off1=0, t_off2=0, chunk=None):
+    """Residual block over a TRAILING slot window (t-pruned inference):
+    conv1 maps x's slots to `mid`'s (offset t_off1), conv2 to `out`'s
+    (offset t_off2); the identity path is the matching slot slice of x.
+    Exact vs basic_block_slab on the shared slots (tests/test_slab.py) —
+    only the current scan's output is consumed downstream
+    (models/models.py:322-324), so the leading slots are dead compute."""
+    ns = {}
+    y = tbl.conv(x, p["conv1"]["w"], mid, kernel, chunk=chunk, t0_off=t_off1)
+    f, ns["bn1"] = _bn_slab(p["bn1"], s["bn1"], y, train=train, bn_args=bn_args)
+    y = y.replace_feats(y.mask_feats(relu(f)))
+    y = tbl.conv(y, p["conv2"]["w"], out, kernel, chunk=chunk, t0_off=t_off2)
+    f, ns["bn2"] = _bn_slab(p["bn2"], s["bn2"], y, train=train, bn_args=bn_args)
+
+    idt_in = slice_slots(x, t_off1 + t_off2, out.T)
+    if "down" in p:
+        w_dn = p["down"]["w"][0]
+        idt = mm(idt_in.feats, jnp.kron(jnp.eye(out.T, dtype=w_dn.dtype), w_dn))
+        idt, ns["down_bn"] = _bn_slab(
+            p["down_bn"], s["down_bn"], idt_in.replace_feats(idt),
+            train=train, bn_args=bn_args,
+        )
+    else:
+        idt = idt_in.feats
+    res = y.replace_feats(relu(f + idt))
+    return res.replace_feats(res.mask_feats()), ns
 
 
 def inverse_block_slab(p, s, coarse: Slab, fine: Slab, parent_idx, *, train, bn_args):

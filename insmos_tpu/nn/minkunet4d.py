@@ -42,13 +42,14 @@ from ..sparse.slab import (
     gather_slots,
     parent_index,
     site_grid,
+    slice_slots,
     strided_occ,
     window_tables,
 )
 from ..sparse.span_conv import make_span_plan
 from .blocks import init_basic_block, init_conv_bn
 from .blocks_slab import (
-    basic_block_slab,
+    basic_block_slab_pruned,
     cat_slab,
     inverse_block_slab,
     subm_block_slab,
@@ -113,12 +114,15 @@ def _level_dims(dims3, factor):
     return tuple(cdiv(d, factor) for d in dims3)
 
 
-def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train: bool):
+def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
+                      train: bool, prune: bool | None = None):
     """points: (W, P, 4+) pose-aligned window; point_valid: (W, P).
 
-    Returns (motion feats for the CURRENT scan (P, C), per-point motion
-    feats for ALL points (W, P, C), new_state, stats dict with site counts
-    and overflow counters per level).
+    Returns (motion feats for the CURRENT scan (P, C), new_state, stats
+    dict with site counts and overflow counters per level). Only the
+    current scan's features are consumed downstream (reference
+    models/models.py:322-324), which licenses the t-pruned inference
+    schedule below.
     """
     mc = cfg.model.motionnet
     W, P = points.shape[:2]
@@ -231,6 +235,47 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         grid = grid8 if fout == 8 else site_grid(slabs[fout])
         parent_idx[fin] = parent_index(grid, dims[fout], slabs[fin])
 
+    # ---------------- t-pruning schedule ------------------------------
+    # Only the CURRENT scan's output is consumed (reference
+    # models/models.py:322-324), and every 3^4 conv extends the temporal
+    # receptive field by one slot — so at inference each tensor only needs
+    # a trailing slot window (computed EXACTLY: occ-masked features at
+    # (site, t) depend only on scans within reach of t). Training keeps
+    # the full window: its BatchNorm batch statistics run over all 4D
+    # sites, matching the reference.
+    if prune is None:
+        prune = not train
+    # absolute first-needed slot per tensor (t_hi = W-1 always)
+    tl = {
+        "b2o": 1, "b3m": 2, "b3o": 3, "b6m": 4, "b6o": 5,
+        "b7m": 6, "b7o": 7, "b8m": 8, "b8o": 9,
+    } if prune and W > 1 else {}
+
+    def t0_of(name):
+        return min(tl.get(name, 0), W - 1)
+
+    def sl(slab_full, t0):
+        return slice_slots(slab_full, t0, W - t0) if t0 else slab_full
+
+    def resl(tensor, t0_cur, t0_new):
+        assert t0_new >= t0_cur
+        return (
+            slice_slots(tensor, t0_new - t0_cur, W - t0_new)
+            if t0_new > t0_cur else tensor
+        )
+
+    def block(name, x_t, t0_in, lvl, mid_name, out_name):
+        # mid/out templates are slot slices of the INPUT tensor: same site
+        # set AND real occupancy (the level slabs carry empty occ on the
+        # span path, where the down conv computes occ itself)
+        mid_t0, out_t0 = t0_of(mid_name), t0_of(out_name)
+        y, ns[name] = basic_block_slab_pruned(
+            params[name], state[name], x_t, _K_BLOCK, tables[lvl],
+            resl(x_t, t0_in, mid_t0), resl(x_t, t0_in, out_t0),
+            t_off1=mid_t0 - t0_in, t_off2=out_t0 - mid_t0, chunk=chunk, **bn,
+        )
+        return y, out_t0
+
     # ---------------- encoder ----------------
     out_stem, ns["stem"] = subm_block_slab(
         params["stem"], state["stem"], x, _K_STEM, tables["stem"], chunk=chunk, **bn
@@ -239,54 +284,58 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *, train:
         params["down1"], state["down1"], out_stem, _K_DOWN, down_tables[2],
         out=slabs[2], chunk=chunk, with_occ=span, **bn,
     )
-    out_b1, ns["block1"] = basic_block_slab(
-        params["block1"], state["block1"], y, _K_BLOCK, tables[2], chunk=chunk, **bn
-    )
+    out_b1, _ = block("block1", y, 0, 2, "b1m", "b1o")
     y, ns["down2"] = subm_block_slab(
         params["down2"], state["down2"], out_b1, _K_DOWN, down_tables[4],
         out=slabs[4], chunk=chunk, with_occ=span, **bn,
     )
-    out_b2, ns["block2"] = basic_block_slab(
-        params["block2"], state["block2"], y, _K_BLOCK, tables[4], chunk=chunk, **bn
-    )
+    out_b2, t_b2 = block("block2", y, 0, 4, "b2m", "b2o")
     y, ns["down3"] = subm_block_slab(
         params["down3"], state["down3"], out_b2, _K_DOWN, down_tables[8],
-        out=slabs[8], chunk=chunk, with_occ=span, **bn,
+        out=sl(slabs[8], t_b2), chunk=chunk, with_occ=span, **bn,
     )
-    y, ns["block3"] = basic_block_slab(
-        params["block3"], state["block3"], y, _K_BLOCK, tables[8], chunk=chunk, **bn
-    )
+    y, t_b3 = block("block3", y, t_b2, 8, "b3m", "b3o")
 
     # ---------------- decoder ----------------
+    # inverse-conv fine templates: the occ-bearing encoder outputs, slot-
+    # sliced to the coarse tensor's range
     y, ns["up5"] = inverse_block_slab(
-        params["up5"], state["up5"], y, out_b2, parent_idx[4], **bn
+        params["up5"], state["up5"], y, resl(out_b2, t_b2, t_b3),
+        parent_idx[4], **bn,
     )
-    y, ns["block6"] = basic_block_slab(
-        params["block6"], state["block6"], cat_slab(y, out_b2), _K_BLOCK,
-        tables[4], chunk=chunk, **bn,
+    y, t_b6 = block(
+        "block6", cat_slab(y, resl(out_b2, t_b2, t_b3)), t_b3, 4, "b6m", "b6o"
     )
     y, ns["up6"] = inverse_block_slab(
-        params["up6"], state["up6"], y, out_b1, parent_idx[2], **bn
+        params["up6"], state["up6"], y, resl(out_b1, 0, t_b6), parent_idx[2],
+        **bn,
     )
-    y, ns["block7"] = basic_block_slab(
-        params["block7"], state["block7"], cat_slab(y, out_b1), _K_BLOCK,
-        tables[2], chunk=chunk, **bn,
+    y, t_b7 = block(
+        "block7", cat_slab(y, resl(out_b1, 0, t_b6)), t_b6, 2, "b7m", "b7o"
     )
     y, ns["up7"] = inverse_block_slab(
-        params["up7"], state["up7"], y, out_stem, parent_idx[1], **bn
+        params["up7"], state["up7"], y, resl(out_stem, 0, t_b7), parent_idx[1],
+        **bn,
     )
-    y, ns["block8"] = basic_block_slab(
-        params["block8"], state["block8"], cat_slab(y, out_stem), _K_BLOCK,
-        tables[1], chunk=chunk, **bn,
+    y, t_b8 = block(
+        "block8", cat_slab(y, resl(out_stem, 0, t_b7)), t_b7, 1, "b8m", "b8o"
     )
 
     w_f = params["final"]["w"]
     cout = w_f.shape[-1]
+    Tf = y.T  # W - t_b8 (1 when pruned)
     # per-t 1x1 conv, flat: block-diagonal kron weight + tiled bias
-    logits = mm(y.feats, jnp.kron(jnp.eye(W, dtype=w_f.dtype), w_f)) + jnp.tile(
-        params["final"]["b"], W
+    logits = mm(y.feats, jnp.kron(jnp.eye(Tf, dtype=w_f.dtype), w_f)) + jnp.tile(
+        params["final"]["b"], Tf
     )
     out = y.replace_feats(logits)
     out = out.replace_feats(out.mask_feats())
-    per_point = gather_slots(out, p2slot, cout).reshape(W, P, cout)
-    return per_point[W - 1], per_point, ns, stats
+    if Tf == W:
+        per_point = gather_slots(out, p2slot, cout).reshape(W, P, cout)
+        cur = per_point[W - 1]
+    else:
+        assert t_b8 == W - 1 and Tf == 1
+        p2s_cur = p2slot[(W - 1) * P :]
+        site_or_neg = jnp.where(p2s_cur >= 0, p2s_cur // W, -1)
+        cur = gather_slots(out, site_or_neg, cout)
+    return cur, ns, stats

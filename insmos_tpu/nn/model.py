@@ -56,7 +56,7 @@ class InsMOSModel:
             jnp.arange(P)[None, :] < sample["num_points"][:, None]
         ) & sample["scan_mask"][:, None]
 
-        motion_cur, _, ns_motion, motion_stats = motionnet_forward(
+        motion_cur, ns_motion, motion_stats = motionnet_forward(
             params["motion"], state["motion"], cfg, points, point_valid, train=train
         )
 

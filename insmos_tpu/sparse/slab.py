@@ -322,9 +322,12 @@ class WindowTables:
     kx: int
     vin: int
 
-    def conv(self, x: "Slab", weight, out: "Slab", kernel, chunk=None) -> "Slab":
+    def conv(self, x: "Slab", weight, out: "Slab", kernel, chunk=None,
+             t0_off: int = 0) -> "Slab":
         """Uniform conv entry shared with span_conv.SpanPlan."""
-        return window_conv(x, weight, self, out, kernel, chunk=chunk)
+        return window_conv(
+            x, weight, self, out, kernel, chunk=chunk, t0_off=t0_off
+        )
 
 
 jax.tree_util.register_dataclass(
@@ -424,6 +427,40 @@ def window_tables(
     )
 
 
+def slice_slots(x: Slab, t0: int, T_eff: int) -> Slab:
+    """View of slots [t0, t0 + T_eff) of a slab: same site set, sliced
+    occupancy and (t-major, so contiguous) feature columns.
+
+    Basis of t-pruned inference: the model only consumes the CURRENT
+    scan's MotionNet output (reference models/models.py:322-324 computes
+    the motion loss on current_motion_feature only), and each 3^4 block
+    extends the temporal receptive field by 1 per conv — so decoder
+    tensors only need a trailing window of slots. Occ-masked features at
+    (site, t) depend only on scans within reach of t, making the sliced
+    computation EXACT (tests/test_slab.py)."""
+    C = x.num_features
+    return Slab(
+        x.keys, x.coords,
+        x.occ[:, t0 : t0 + T_eff],
+        x.feats[:, t0 * C : (t0 + T_eff) * C] if x.feats.shape[-1] else x.feats,
+        x.valid, x.dims, T_eff,
+    )
+
+
+def t_band(kt: int, T_in: int, T_out: int, doff: int, dtype):
+    """(kt, T_in, T_out) band selectors for folding a t-kernel into flat
+    (V, T*C) matmuls. Output slot p (absolute t0_out + p) reads input slot
+    i = p + doff + it - lo where doff = t0_out - t0_in; entries outside
+    [0, T_in) vanish (window-edge clipping, same as the full-T fold)."""
+    lo = (kt - 1) // 2
+    return jnp.stack(
+        [
+            jnp.eye(T_in, T_out, k=-(doff + it - lo), dtype=dtype)
+            for it in range(kt)
+        ]
+    )
+
+
 # ------------------------------------------------------------ convolution
 def _shift_concat(feats_pad, kx, vin):
     """(Vin+kx, TC) -> (Vin+1, kx*TC): row p holds rows p..p+kx-1.
@@ -445,6 +482,7 @@ def window_conv(
     out: Slab,  # output site set (occ used for masking)
     kernel,  # (kx, ky, kz[, kt])
     chunk: int | None = None,
+    t0_off: int = 0,  # out slot range offset vs input (t-pruned inference)
 ) -> Slab:
     """Generic windowed sparse conv: subm (out is x, centered tables) or
     strided (out from derive_strided_sites, tables with stride/pad).
@@ -463,18 +501,17 @@ def window_conv(
     K, cin, cout = weight.shape
     assert K == kx * G * kt, (K, kx, G, kt)
     T = x.T
+    Tout = out.T
     V = out.capacity
     TC = T * cin
 
     # Fold the t-kernel into per-group flat weights:
-    #   Wg[(d*T + t)*cin + c, t'*cout + o] = sum_it w[it,g,d,c,o] * [t - t' == it - lo]
-    lo = (kt - 1) // 2
+    #   Wg[(d*T + t)*cin + c, p*cout + o] = sum_it w[it,g,d,c,o]
+    #                                       * [t == p + t0_off + it - lo]
     w5 = weight.reshape(kt, G, kx, cin, cout)  # t slowest, (z,y)=G, x fastest
-    bands = jnp.stack(
-        [jnp.eye(T, k=-(it - lo), dtype=weight.dtype) for it in range(kt)]
-    )  # (kt, T, T'): 1 where t - t' == it - lo (out t' reads in t = t' + ot)
+    bands = t_band(kt, T, Tout, t0_off, weight.dtype)
     wg = jnp.einsum("igdco,itp->gdtcpo", w5, bands).reshape(
-        G, kx * TC, T * cout
+        G, kx * TC, Tout * cout
     )
 
     feats_pad = jnp.concatenate(
@@ -502,7 +539,7 @@ def window_conv(
 
     def scan_groups(wstart_all, slot_all):
         rows = wstart_all.shape[1]
-        acc0 = jnp.zeros((rows, T * cout), jnp.float32)
+        acc0 = jnp.zeros((rows, Tout * cout), jnp.float32)
 
         def body(acc, scanned):
             ws, sm, w_g = scanned
@@ -520,7 +557,7 @@ def window_conv(
         sm = tables.slotmap.reshape(G, kx, nc, chunk).transpose(2, 0, 1, 3)
         out_feats = jax.lax.map(
             lambda a: scan_groups(*a), (ws, sm)
-        ).reshape(V, T * cout)
+        ).reshape(V, Tout * cout)
 
     res = out.replace_feats(out_feats)
     return res.replace_feats(res.mask_feats())

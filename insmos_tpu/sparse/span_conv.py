@@ -69,18 +69,21 @@ def _bisect(keys, queries, n_iter):
     return lo
 
 
-def fold_weights(weight, kx, G, kt, T, dtype):
-    """(K, cin, cout) -> (G, kx*T*cin, T*cout) with the t-kernel folded in
-    as a (T, T) band — identical layout to window_conv's wg."""
+def fold_weights(weight, kx, G, kt, T, dtype, T_out=None, t0_off=0):
+    """(K, cin, cout) -> (G, kx*T*cin, T_out*cout) with the t-kernel folded
+    in as a (T, T_out) band — identical layout to window_conv's wg. A
+    rectangular band (T_out < T, t0_off > 0) realizes t-pruned inference
+    (slab.slice_slots)."""
+    from .slab import t_band
+
     K, cin, cout = weight.shape
-    lo = (kt - 1) // 2
+    if T_out is None:
+        T_out = T
     w5 = weight.reshape(kt, G, kx, cin, cout)
-    bands = jnp.stack(
-        [jnp.eye(T, k=-(it - lo), dtype=dtype) for it in range(kt)]
-    )
+    bands = t_band(kt, T, T_out, t0_off, dtype)
     return jnp.einsum(
         "igdco,itp->gdtcpo", w5.astype(dtype), bands
-    ).reshape(G, kx * T * cin, T * cout)
+    ).reshape(G, kx * T * cin, T_out * cout)
 
 
 def _kernel(
@@ -241,12 +244,13 @@ class SpanPlan:
     jbcap: int = dataclasses.field(default=0, metadata={"static": True})
     jwin: int = dataclasses.field(default=4, metadata={"static": True})
 
-    def conv(self, x: Slab, weight, out: Slab, kernel, chunk=None) -> Slab:
+    def conv(self, x: Slab, weight, out: Slab, kernel, chunk=None,
+             t0_off: int = 0) -> Slab:
         """window_conv-compatible entry (chunk ignored)."""
         kt = kernel[3] if len(kernel) == 4 else 1
         feats = span_conv_apply(
             x.keys, x.mask_feats(), out.coords, out.valid, weight,
-            self, x.T, kt,
+            self, x.T, kt, out.T, t0_off,
         )
         res = out.replace_feats(feats)
         return res.replace_feats(res.mask_feats())
@@ -725,7 +729,7 @@ def _jumbo_kernel(
         out_ref[:] = io_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("T", "kt"))
+@functools.partial(jax.jit, static_argnames=("T", "kt", "T_out", "t0_off"))
 def span_conv_apply(
     x_keys,  # (Vin,) int32 sorted input site keys
     x_feats,  # (Vin, T*cin) input features (zeros at padding/non-occ)
@@ -735,9 +739,13 @@ def span_conv_apply(
     plan: SpanPlan,
     T: int,
     kt: int = 1,
+    T_out: int | None = None,
+    t0_off: int = 0,
 ):
     """Run the span kernel (+ jumbo coverage pass) with a precomputed
-    plan. Returns out_feats (V, T*cout) f32."""
+    plan. Returns out_feats (V, T_out*cout) f32."""
+    if T_out is None:
+        T_out = T
     kernel3 = plan.kernel3
     span, bs = plan.span, plan.bs
     stride3, pad3, in_dims = plan.stride3, plan.pad3, plan.in_dims
@@ -747,7 +755,7 @@ def span_conv_apply(
     K, cin, cout = weight.shape
     assert K == kx * G * kt
     TC = T * cin
-    TO = T * cout
+    TO = T_out * cout
     # lane-pad feature/output widths to the 128-lane DMA tiling; the
     # hardware pads every array to 128 lanes anyway, this makes it explicit
     TCP = -(-TC // 128) * 128
@@ -760,7 +768,9 @@ def span_conv_apply(
     NBP = NB + jbcap  # jumbo dummy slots park on trailing trash blocks
 
     dtype = weight.dtype if weight.dtype == jnp.bfloat16 else jnp.float32
-    wg = fold_weights(weight, kx, G, kt, T, dtype)  # (G, kx*TC, TO)
+    wg = fold_weights(
+        weight, kx, G, kt, T, dtype, T_out=T_out, t0_off=t0_off
+    )  # (G, kx*TC, TO)
     wg = jnp.pad(
         wg.reshape(G, kx, TC, TO), ((0, 0), (0, 0), (0, TCP - TC), (0, TOP - TO))
     ).reshape(G, kx * TCP, TOP)

@@ -181,3 +181,53 @@ def test_warmup_masked_window_matches_native_small_window():
         np.asarray(out4["cls_map"]), np.asarray(out2["cls_map"]),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_t_pruned_motionnet_exact():
+    """t-pruned inference (trailing-slot schedule) must reproduce the
+    full-window current-scan motion features EXACTLY, for both engines
+    (VERDICT #1 perf work; slice_slots/basic_block_slab_pruned)."""
+    from insmos_tpu.nn.minkunet4d import motionnet_forward
+    from insmos_tpu.nn.layers import cast_compute
+
+    for engine in ("window", "span"):
+        cfg = tiny_config(window=4)
+        cfg = dataclasses.replace(
+            cfg,
+            runtime=dataclasses.replace(
+                cfg.runtime, compute_dtype="float32", sparse_engine=engine
+            ),
+        )
+        from insmos_tpu.nn import InsMOSModel
+
+        model = InsMOSModel(cfg)
+        params, state = model.init(jax.random.PRNGKey(3))
+        params = cast_compute(params, "float32")
+
+        rng = np.random.default_rng(7)
+        W, P = 4, cfg.runtime.max_points_per_scan
+        r = cfg.data.point_cloud_range
+        n = int(P * 0.7)
+        pts = np.zeros((W, P, 4), np.float32)
+        pts[:, :n, 0] = rng.uniform(r[0], r[3], (W, n))
+        pts[:, :n, 1] = rng.uniform(r[1], r[4], (W, n))
+        pts[:, :n, 2] = rng.uniform(r[2], r[5], (W, n))
+        pv = np.zeros((W, P), bool)
+        pv[:, :n] = True
+
+        full = jax.jit(
+            lambda p, s: motionnet_forward(
+                p, s, cfg, jnp.asarray(pts), jnp.asarray(pv),
+                train=False, prune=False,
+            )[0]
+        )(params["motion"], state["motion"])
+        pruned = jax.jit(
+            lambda p, s: motionnet_forward(
+                p, s, cfg, jnp.asarray(pts), jnp.asarray(pv),
+                train=False, prune=True,
+            )[0]
+        )(params["motion"], state["motion"])
+        np.testing.assert_allclose(
+            np.asarray(pruned), np.asarray(full), atol=2e-4, rtol=2e-4,
+            err_msg=engine,
+        )

@@ -66,7 +66,7 @@ def main():
     # ---- motion net ----
     @jax.jit
     def motion(params_m, state_m, pts, pv):
-        cur, _, _, _ = motionnet_forward(params_m, state_m, cfg, pts, pv, train=False)
+        cur, _, _ = motionnet_forward(params_m, state_m, cfg, pts, pv, train=False)
         return cur
 
     t_motion = timeit(
