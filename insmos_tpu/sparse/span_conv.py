@@ -359,13 +359,20 @@ def make_span_plan(
     kz = jnp.asarray([g[1] for g in groups], jnp.int32)
 
     def block_q(c3, v, fill):
-        # y/z CLAMPED to the grid: clamping keeps q monotone across the
-        # out-of-range boundary rows (where the raw row index would alias
-        # into a neighbouring z-slice), which the sentinel-coverage logic
-        # relies on; the kernel masks those rows' queries anyway.
-        iy = jnp.clip(c3[:, 1] * sy - py + ky[:, None], 0, Y - 1)
-        iz = jnp.clip(c3[:, 2] * sz - pz + kz[:, None], 0, Z - 1)
-        q = (iz * Y + iy) * X + (c3[:, 0] * sx - px)[None]
+        # Plan queries use the RAW row index (iz*Y + iy), which is
+        # monotone in site order by construction (it equals the site's
+        # own (z, y) rank plus a per-group constant), clamped JOINTLY to
+        # the grid's row range. Per-coordinate clamping would break
+        # monotonicity where an out-of-range z-row ties with the next
+        # slice's in-range rows — the sentinel-coverage logic relies on
+        # monotone positions. The kernel masks out-of-range rows anyway;
+        # clamping only makes anchors conservative.
+        row = (
+            (c3[:, 2] * sz - pz + kz[:, None]) * Y
+            + (c3[:, 1] * sy - py + ky[:, None])
+        )
+        row = jnp.clip(row, 0, Y * Z - 1)
+        q = row * X + (c3[:, 0] * sx - px)[None]
         return jnp.where(v[None] > 0, q, fill)  # (G, ...)
 
     BIG = jnp.iinfo(jnp.int32).max

@@ -272,3 +272,54 @@ def test_conv_with_occ_matches_window_plus_occ():
     np.testing.assert_allclose(
         np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
     )
+
+
+def test_span_dense_boundary_row_aliasing():
+    """Regression: in a dense-ish grid, blocks whose sites straddle a z
+    transition have NON-monotone raw query rows for shifted groups (an
+    out-of-range row of slice z ties with in-range rows of slice z+1
+    after naive clamping). The plan must anchor with jointly-clamped row
+    indices or coverage certification silently passes on wrong output
+    (found by tools-level fuzzing; 8 wrong sites with n_overflow == 0)."""
+    rng = np.random.default_rng(0)
+    dims = (48, 40, 12)
+    cin, cout = 4, 4
+    n, cap = 5000, 4096
+    coords3 = np.stack(
+        [rng.integers(0, d, n) for d in dims], axis=-1
+    ).astype(np.int32)
+    tcol = rng.integers(0, T, n).astype(np.int32)
+    slab, _, _, _ = build_slab(
+        jnp.asarray(coords3), jnp.asarray(tcol), jnp.ones(n, bool), dims, T, cap
+    )
+    occ = slab.valid[:, None] & jnp.ones((1, T), bool)
+    feats = rng.normal(size=(cap, T * cin)).astype(np.float32)
+    slab = slab.__class__(
+        slab.keys, slab.coords, occ, jnp.asarray(feats), slab.valid, dims, T
+    )
+    slab = slab.replace_feats(slab.mask_feats())
+    kernel = (3, 3, 3, 3)
+    w = jnp.asarray(rng.normal(size=(81, cin, cout)).astype(np.float32)) * 0.2
+
+    grid = site_grid(slab)
+    tbl = window_tables(
+        grid, dims, slab.coords, slab.valid, (3, 3, 3), vin=cap
+    )
+    ref = window_conv(slab, w, tbl, slab, kernel)
+
+    from insmos_tpu.sparse.span_conv import make_span_plan
+
+    plan = make_span_plan(
+        slab.keys, slab.coords, slab.valid, (3, 3, 3), in_dims=dims,
+        span=256, bs=128, jbcap=32, jwin=2,
+    )
+    exact = make_span_plan(
+        slab.keys, slab.coords, slab.valid, (3, 3, 3), in_dims=dims,
+        span=256, bs=128, jbcap=32, jwin=2, exact_stats=True,
+    )
+    assert int(plan.n_overflow) == 0
+    assert int(exact.n_overflow) == 0
+    got = plan.conv(slab, w, slab, kernel)
+    np.testing.assert_allclose(
+        np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
+    )
