@@ -22,10 +22,20 @@ import time
 
 
 def _bench_cfg():
-    """Full-scale reference configuration."""
+    """Full-scale reference configuration, in the streaming deployment
+    mode: the device-resident window stays in one fixed voxel frame, so
+    the incremental stem (exact per-slot reuse across the window shift —
+    minkunet4d._incremental_stem) is enabled. On real KITTI poses this
+    mode voxelizes in a fixed odometry orientation instead of the
+    reference's per-step re-rotation (documented deviation, README)."""
+    import dataclasses
+
     from insmos_tpu.config import Config
 
-    return Config()
+    cfg = Config()
+    return dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime, incremental_stem=True)
+    )
 
 
 def make_window(cfg, seed: int = 0, n_scans: int | None = None):
@@ -119,11 +129,11 @@ def main():
         # (span_conv.make_span_plan: non-jump blocks are covered by
         # construction) — so a 0 here certifies no dropped contributions.
         ovf = out["overflow"]
-        span_ovf = jnp.sum(ovf.get("span_overflow", jnp.zeros((), jnp.int32)))
+        span_vec = ovf.get("span_overflow", jnp.zeros((1,), jnp.int32))
         site_drop = jnp.sum(ovf["motion_dropped"]) + jnp.sum(
             ovf["voxelizer_dropped"]
         )
-        return buf, digest, span_ovf, site_drop
+        return buf, digest, span_vec, site_drop
 
     step = jax.jit(step, donate_argnums=(0,))
 
@@ -136,12 +146,16 @@ def main():
     n = jnp.int32(seq["num_points"][0])
     tf = jnp.eye(4, dtype=jnp.float32)  # synthetic world is pre-aligned
 
+    import numpy as np
+
     buf = pipe._buf
-    max_span_ovf = max_site_drop = 0
+    max_ovf_vec = None
+    max_site_drop = 0
     for i in range(warm):
         buf, digest, so, sd = step(buf, scans[i], n, tf)
         if i >= 1:  # slot 0 fills gradually; gate once windows are real
-            max_span_ovf = max(max_span_ovf, int(so))
+            sov = np.asarray(so)
+            max_ovf_vec = sov if max_ovf_vec is None else np.maximum(max_ovf_vec, sov)
             max_site_drop = max(max_site_drop, int(sd))
     float(digest)  # fence warm-up (compile + window fill)
 
@@ -150,14 +164,18 @@ def main():
         buf, digest, so, sd = step(buf, scans[warm + i], n, tf)
     float(digest)  # device executes in order: last digest fences all iters
     dt = time.perf_counter() - t0
-    max_span_ovf = max(max_span_ovf, int(so))
+    max_ovf_vec = np.maximum(max_ovf_vec, np.asarray(so))
     max_site_drop = max(max_site_drop, int(sd))
 
     scans_per_sec = iters / dt
     baseline = 8.33  # assumed CUDA reference scans/s (see module docstring)
     # hard gate: a span-tuning regression must fail the bench, not trade
     # silent accuracy for the headline number (VERDICT round-1 #6)
-    assert max_span_ovf == 0, f"span overflow {max_span_ovf} rows > 0"
+    max_span_ovf = int(max_ovf_vec.sum())
+    assert max_span_ovf == 0, (
+        f"span overflow {max_span_ovf} rows > 0; per-plan max "
+        f"(motion: stem,t1,t2,t4,t8,d2,d4,d8 then unet): {max_ovf_vec.tolist()}"
+    )
     print(
         json.dumps(
             {

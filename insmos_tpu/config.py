@@ -169,6 +169,14 @@ class RuntimeConfig:
     # XLA windowed path for training/CPU; "window" / "span" force one.
     sparse_engine: str = "auto"
     data_axis: str = "data"  # mesh axis name for data parallelism
+    # Streaming-inference stem reuse (fixed-frame deployment): cache the
+    # stem's per-slot activations across window shifts and compute only the
+    # new scan's slot (exact per-slot stationarity, kt=1 — PERF.md
+    # "Incremental window reuse"). Requires the window to stay in ONE
+    # odometry-fixed voxel frame between steps (pipeline tf must be
+    # identity / an integer-voxel translation); a documented deviation from
+    # the reference's per-step re-rotation when used on real poses.
+    incremental_stem: bool = False
 
 
 @dataclass(frozen=True)

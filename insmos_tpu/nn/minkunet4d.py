@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config
 from ..sparse.slab import (
@@ -114,8 +115,72 @@ def _level_dims(dims3, factor):
     return tuple(cdiv(d, factor) for d in dims3)
 
 
+def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
+                      span, chunk, bn, stem_cache, stats):
+    """Fixed-frame streaming stem: T=1 pass on the new scan's slab + a
+    key-matched gather of the previous step's cached slots (shifted one
+    slot left). Exact because the stem's t-kernel is 1: slot t's output
+    is supported on scan t's own site set and depends on no other scan,
+    so it is stationary under the window shift in a fixed voxel frame
+    (every (site, t<=W-2) pair occupied in this window was present in the
+    previous window's slab). See tools/proto_incremental_stem.py."""
+    from ..sparse.span_conv import _bisect
+
+    W, P = point_valid.shape
+    cap0 = x.capacity
+    C = params["stem"]["conv"]["w"].shape[-1]
+
+    # fresh T=1 stem over the new scan's own slab (~0.25x sites)
+    scan_cap = -(-cfg.runtime.max_points_per_scan // 128) * 128
+    c3_new = coords3.reshape(W, P, 3)[W - 1]
+    nslab, _, _, n_drop = build_slab(
+        c3_new, jnp.zeros((P,), jnp.int32), point_valid[W - 1], dims1, 1,
+        scan_cap,
+    )
+    nslab = nslab.replace_feats(
+        (jnp.full((scan_cap, 1), 0.5, jnp.float32) * nslab.occ).astype(
+            jnp.float32
+        )
+    )
+    if span:
+        ntbl = make_span_plan(
+            nslab.keys, nslab.coords, nslab.valid, _K3_STEM, in_dims=dims1,
+            span=256, jbcap=64, jwin=3,
+        )
+        stats["span_overflow"].append(ntbl.n_overflow)
+    else:
+        ntbl = window_tables(
+            site_grid(nslab), dims1, nslab.coords, nslab.valid, _K3_STEM,
+            vin=scan_cap,
+        )
+    fresh, _ = subm_block_slab(
+        params["stem"], state["stem"], nslab, _K_STEM, ntbl, chunk=chunk, **bn
+    )
+
+    # cached slots: previous window's (site, t) -> this window's (site, t-1)
+    n_iter = max(1, int(np.ceil(np.log2(cap0 + 1))))
+    pos = _bisect(stem_cache["keys"], x.keys, n_iter)
+    pos = jnp.clip(pos, 0, cap0 - 1)
+    hit = (jnp.take(stem_cache["keys"], pos) == x.keys) & x.valid
+    rows = jnp.take(stem_cache["feats"], pos, axis=0)  # (cap0, W*C)
+    rows = jnp.where(hit[:, None], rows, 0.0)
+    shifted = jnp.concatenate(
+        [rows[:, C:], jnp.zeros((cap0, C), rows.dtype)], axis=1
+    )
+    # fresh slot W-1, key-matched from the scan slab
+    fpos = _bisect(nslab.keys, x.keys, n_iter)
+    fpos = jnp.clip(fpos, 0, scan_cap - 1)
+    fhit = (jnp.take(nslab.keys, fpos) == x.keys) & x.valid
+    fr = jnp.take(fresh.feats, fpos, axis=0)  # (cap0, C)
+    fr = jnp.where(fhit[:, None], fr, 0.0)
+    merged = shifted.at[:, (W - 1) * C :].set(fr)
+    out = x.replace_feats(merged)
+    return out.replace_feats(out.mask_feats())
+
+
 def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
-                      train: bool, prune: bool | None = None):
+                      train: bool, prune: bool | None = None,
+                      stem_cache: dict | None = None):
     """points: (W, P, 4+) pose-aligned window; point_valid: (W, P).
 
     Returns (motion feats for the CURRENT scan (P, C), new_state, stats
@@ -123,6 +188,15 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
     current scan's features are consumed downstream (reference
     models/models.py:322-324), which licenses the t-pruned inference
     schedule below.
+
+    `stem_cache` ({"keys": (cap,), "feats": (cap, W*C)}, from the previous
+    streaming step) switches the stem to the incremental fixed-frame path:
+    the cached slots are key-match gathered onto the new window's site set
+    (shifted one slot), and only the NEW scan's slot is computed — a T=1
+    stem pass over the new scan's own ~4x-smaller slab. Exact vs the
+    direct stem (kt=1: each slot depends only on its own scan's sites;
+    tools/proto_incremental_stem.py + tests/test_model.py). The refreshed
+    cache is returned in stats["stem_cache"].
     """
     mc = cfg.model.motionnet
     W, P = points.shape[:2]
@@ -162,11 +236,13 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         dims[fout] = _level_dims(dims1, fout)
         grid = None if span else site_grid(slabs[fin])
         s_in = slabs[fin]
-        if fin == 1:
+        if fin == 1 and stem_cache is None:
+            # (the incremental-stem path plans over the new scan's slab
+            # instead — see _incremental_stem)
             tables["stem"] = (
                 make_span_plan(
                     s_in.keys, s_in.coords, s_in.valid, _K3_STEM,
-                    in_dims=dims[fin], span=256, jbcap=128, jwin=2,
+                    in_dims=dims[fin], span=256, jbcap=128, jwin=3,
                     # spans sized to the p99 interval (tools/probe_spans);
                     # the tail goes through the jumbo coverage pass, whose
                     # exact counter bench.py gates at 0
@@ -202,7 +278,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
             down_tables[fout] = make_span_plan(
                 s_in.keys, nxt.coords, nxt.valid, _K3_DOWN,
                 stride3=_S2, pad3=_P0, in_dims=dims[fin], bs=128, span=256,
-                jbcap=160 if fout == 8 else 96, jwin=3,
+                jbcap=256 if fout == 8 else 96, jwin=3,
             )
         else:
             down_tables[fout] = window_tables(
@@ -225,10 +301,13 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
     )
     if span:
         stats["span_overflow"] = [
-            tables["stem"].n_overflow, tables[1].n_overflow,
-            tables[2].n_overflow, tables[4].n_overflow, tables[8].n_overflow,
-            down_tables[2].n_overflow, down_tables[4].n_overflow,
-            down_tables[8].n_overflow,
+            t.n_overflow
+            for t in (
+                [tables["stem"]] if stem_cache is None else []
+            ) + [
+                tables[1], tables[2], tables[4], tables[8],
+                down_tables[2], down_tables[4], down_tables[8],
+            ]
         ]
     # parent indices for the up path (fine -> its stride-2 parent)
     for fin, fout in ((4, 8), (2, 4), (1, 2)):
@@ -277,9 +356,19 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         return y, out_t0
 
     # ---------------- encoder ----------------
-    out_stem, ns["stem"] = subm_block_slab(
-        params["stem"], state["stem"], x, _K_STEM, tables["stem"], chunk=chunk, **bn
-    )
+    if stem_cache is not None:
+        assert not train, "incremental stem is an inference-only path"
+        out_stem = _incremental_stem(
+            params, state, cfg, x, coords3, point_valid, dims1, span, chunk,
+            bn, stem_cache, stats,
+        )
+        ns["stem"] = state["stem"]
+    else:
+        out_stem, ns["stem"] = subm_block_slab(
+            params["stem"], state["stem"], x, _K_STEM, tables["stem"], chunk=chunk, **bn
+        )
+    if stem_cache is not None:
+        stats["stem_cache"] = {"keys": x.keys, "feats": out_stem.feats}
     y, ns["down1"] = subm_block_slab(
         params["down1"], state["down1"], out_stem, _K_DOWN, down_tables[2],
         out=slabs[2], chunk=chunk, with_occ=span, **bn,

@@ -38,11 +38,15 @@ class InsMOSModel:
         state = {"motion": ms, "unet": us, "bev": bs}
         return params, state
 
-    def forward(self, params, state, sample: dict, *, train: bool) -> dict:
+    def forward(self, params, state, sample: dict, *, train: bool,
+                stem_cache: dict | None = None) -> dict:
         """sample: dict of one WindowSample's arrays (no batch dim).
 
         Returns a dict with per-point MOS logits for the current scan,
         motion logits, detection outputs, and the new BN state.
+        `stem_cache` enables the fixed-frame incremental stem (streaming
+        inference; see minkunet4d.motionnet_forward) — the refreshed cache
+        is returned under "stem_cache".
         """
         from .layers import cast_compute
 
@@ -57,7 +61,8 @@ class InsMOSModel:
         ) & sample["scan_mask"][:, None]
 
         motion_cur, ns_motion, motion_stats = motionnet_forward(
-            params["motion"], state["motion"], cfg, points, point_valid, train=train
+            params["motion"], state["motion"], cfg, points, point_valid,
+            train=train, stem_cache=stem_cache,
         )
 
         current = points[W - 1]  # (P, 4)
@@ -114,7 +119,12 @@ class InsMOSModel:
         if span_ovf:
             overflow["span_overflow"] = jnp.stack(span_ovf)
 
+        out_extra = (
+            {"stem_cache": motion_stats["stem_cache"]}
+            if "stem_cache" in motion_stats else {}
+        )
         return {
+            **out_extra,
             "overflow": overflow,
             "point_logits": point_logits,
             "motion_logits": motion_cur,

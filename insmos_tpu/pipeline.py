@@ -134,18 +134,30 @@ class InferencePipeline:
         cfg = self.cfg
         W = cfg.model.n_past_steps
         P = cfg.runtime.max_points_per_scan
-        self._buf = jax.device_put(
-            {
-                "points": jnp.zeros((W, P, 4), jnp.float32),
-                "num_points": jnp.zeros((W,), jnp.int32),
-                "scan_mask": jnp.zeros((W,), bool),
+        buf = {
+            "points": jnp.zeros((W, P, 4), jnp.float32),
+            "num_points": jnp.zeros((W,), jnp.int32),
+            "scan_mask": jnp.zeros((W,), bool),
+        }
+        if cfg.runtime.incremental_stem:
+            from .sparse.tensor import KEY_SENTINEL
+
+            cap = cfg.model.motionnet.site_capacities[0]
+            C = 8  # stem output channels (CustomMinkUNet INIT_DIM)
+            buf["stem_cache"] = {
+                "keys": jnp.full((cap,), KEY_SENTINEL, jnp.int32),
+                "feats": jnp.zeros((cap, W * C), jnp.float32),
             }
-        )
+        self._buf = jax.device_put(buf)
 
     # -------------------------------------------------------------- step
     def _step(self, params, state, buf, new_scan, n_new, tf):
         """Roll the device window, re-align to the new current frame,
-        insert the new scan, run the model. Returns (new_buf, outputs)."""
+        insert the new scan, run the model. Returns (new_buf, outputs).
+
+        With cfg.runtime.incremental_stem, ``tf`` must keep the window in
+        one fixed voxel frame (identity / integer-voxel translation): the
+        buffered stem cache is only valid under per-slot stationarity."""
         cfg = self.cfg
         W = buf["points"].shape[0]
         pts = jnp.roll(buf["points"], -1, axis=0)
@@ -164,7 +176,12 @@ class InferencePipeline:
             "gt_boxes": jnp.zeros((cfg.model.head.max_objs, 8), jnp.float32),
             "num_boxes": jnp.int32(0),
         }
-        out = self.model.forward(params, state, sample, train=False)
+        out = self.model.forward(
+            params, state, sample, train=False,
+            stem_cache=buf.get("stem_cache"),
+        )
+        if "stem_cache" in buf:
+            new_buf["stem_cache"] = out["stem_cache"]
         return new_buf, {
             "point_logits": out["point_logits"],
             "boxes": out["boxes"],

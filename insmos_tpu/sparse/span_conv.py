@@ -54,7 +54,20 @@ SPAN = 256  # input span rows fetched per (block, group)
 
 
 def _bisect(keys, queries, n_iter):
-    """Vectorized first-index-with-key >= query over a sorted array."""
+    """Vectorized first-index-with-key >= query over a sorted array.
+
+    Dispatches by query count (static shapes): binary search costs
+    Q * log2(Vin) random row takes (~20 ns each — PERF.md), a merged sort
+    costs (Vin + Q) sorted rows (~8 ns each), so the merge wins for the
+    plan-wide query batches (~10^5 queries) and the search wins for the
+    handful of jumbo sentinel anchors."""
+    Q_total = int(np.prod(queries.shape))
+    if Q_total * max(n_iter, 1) * 3 < keys.shape[0] + Q_total:
+        return _bisect_search(keys, queries, n_iter)
+    return _bisect_merge(keys, queries)
+
+
+def _bisect_search(keys, queries, n_iter):
     lo = jnp.zeros(queries.shape, jnp.int32)
     hi = jnp.full(queries.shape, keys.shape[0], jnp.int32)
 
@@ -67,6 +80,27 @@ def _bisect(keys, queries, n_iter):
 
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
     return lo
+
+
+def _bisect_merge(keys, queries):
+    """Merged-sort lower bound. Ties place queries BEFORE keys, so the
+    running key count at a query equals #keys-strictly-less ==
+    first-index-with-key >= query (keys unique; KEY_SENTINEL padding ties
+    are counted out the same way)."""
+    Vin = keys.shape[0]
+    qf = queries.reshape(-1)
+    Q = qf.shape[0]
+    vals = jnp.concatenate([keys, qf])
+    is_key = jnp.concatenate(
+        [jnp.ones((Vin,), jnp.int32), jnp.zeros((Q,), jnp.int32)]
+    )
+    payload = jnp.concatenate(
+        [jnp.full((Vin,), INT32_MAX, jnp.int32), jnp.arange(Q, dtype=jnp.int32)]
+    )
+    _, st, sp = jax.lax.sort((vals, is_key, payload), num_keys=2)
+    nkeys_before = (jnp.cumsum(st) - st).astype(jnp.int32)
+    _, pos = jax.lax.sort((sp, nkeys_before), num_keys=1)
+    return pos[:Q].reshape(queries.shape)
 
 
 def fold_weights(weight, kx, G, kt, T, dtype, T_out=None, t0_off=0):
@@ -585,10 +619,12 @@ def _exact_uncovered(
 
 
 def _jumbo_kernel(
-    # scalar prefetch
+    # scalar prefetch (minor dim = jbcap: Mosaic lane-pads the minor dim
+    # of SMEM operands to 128, so a (GP, jbcap, JW) layout would blow the
+    # ~1 MB SMEM budget at JW->128 padding; see PERF.md)
     jblk_ref,  # (jbcap,) int32 jumbo block index or -1
-    jst_ref,  # (GP, jbcap, JW) int32 window starts (16-row tile units)
-    jex_ref,  # (GP, jbcap, JW) int32 exclusion lower bounds (absolute rows)
+    jst_ref,  # (GP*JW, jbcap) int32 window starts (16-row tile units)
+    jex_ref,  # (GP*JW, jbcap) int32 exclusion lower bounds (absolute rows)
     gp_ref,  # (GP, 2) int32 (ky_i, kz_i)
     # blocked inputs
     site_ref,  # (1, 8, BS) int32
@@ -635,7 +671,7 @@ def _jumbo_kernel(
 
     def copies(it, slot):
         gi, w = seq[it]
-        r = jst_ref[go * GI + gi, j, w]
+        r = jst_ref[(go * GI + gi) * JW + w, j]
         s = pl.multiple_of(r * 16, 16)
         r8 = pl.multiple_of((r // 8) * 8, 8)
         ck = pltpu.make_async_copy(
@@ -674,8 +710,8 @@ def _jumbo_kernel(
                     c.start()
             for c in copies(it, slot):
                 c.wait()
-            r = jst_ref[g, j, w]
-            excl = jex_ref[g, j, w]
+            r = jst_ref[g * JW + w, j]
+            excl = jex_ref[g * JW + w, j]
 
             @pl.when(live)
             def _(w=w, slot=slot, row_ok=row_ok, q=q, r=r, excl=excl):
@@ -774,6 +810,23 @@ def span_conv_apply(
     JW = plan.jstart.shape[-1]  # 2*jwin - 1 head+tail segment windows
     NBP = NB + jbcap  # jumbo dummy slots park on trailing trash blocks
 
+    import os
+
+    if os.environ.get("INSMOS_SPAN_DEBUG"):
+        G_ = G
+        TCP_ = -(-T * cin // 128) * 128
+        TOP_ = -(-(T_out or T) * cout // 128) * 128
+        per_g = kx * TCP_ * TOP_ * (2 if weight.dtype == jnp.bfloat16 else 4)
+        GI_ = max(1, min(G_, (4 << 20) // per_g))
+        GO_ = -(-G_ // GI_)
+        GP_ = GO_ * GI_
+        print(
+            f"[span] V={V} Vin={x_keys.shape[0]} bs={bs} NB={NB} span={span}"
+            f" kx={kx} G={G_} GI={GI_} GP={GP_} jbcap={jbcap} JW={JW}"
+            f" sbse={GP_ * NB * 4}B jstart={GP_ * jbcap * JW * 4}B"
+            f" TCP={TCP_} TOP={TOP_}",
+            flush=True,
+        )
     dtype = weight.dtype if weight.dtype == jnp.bfloat16 else jnp.float32
     wg = fold_weights(
         weight, kx, G, kt, T, dtype, T_out=T_out, t0_off=t0_off
@@ -911,6 +964,10 @@ def span_conv_apply(
             _jumbo_kernel, kx=kx, G=G, GI=GI, JW=JW, span=span, bs=bs,
             in_dims=in_dims, stride3=stride3, pad3=pad3,
         )
+        # (GP, jbcap, JW) -> (GP*JW, jbcap): SMEM operands are lane-padded
+        # on the minor dim to 128, so JW must not be minor
+        jstart2 = jnp.moveaxis(jstart, -1, 1).reshape(GP * JW, jbcap)
+        jexcl2 = jnp.moveaxis(jexcl, -1, 1).reshape(GP * JW, jbcap)
         out = pl.pallas_call(
             jkern,
             grid_spec=jgrid,
@@ -918,7 +975,7 @@ def span_conv_apply(
             input_output_aliases={6: 0},
             interpret=_interpret(),
         )(
-            plan.jblk, jstart, jexcl, gp,
+            plan.jblk, jstart2, jexcl2, gp,
             site_pack, wg, out, keys2, feats_pad,
         )
     return out[:V, :TO]

@@ -231,3 +231,63 @@ def test_t_pruned_motionnet_exact():
             np.asarray(pruned), np.asarray(full), atol=2e-4, rtol=2e-4,
             err_msg=engine,
         )
+
+
+def test_incremental_stem_streaming_exact():
+    """Fixed-frame streaming with the incremental stem (cached per-slot
+    reuse, minkunet4d._incremental_stem) must reproduce the direct
+    pipeline's outputs EXACTLY at every step, including the warm-up steps
+    where the cache fills gradually (VERDICT #3)."""
+    from insmos_tpu.pipeline import InferencePipeline
+    from insmos_tpu.nn.layers import cast_compute
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        runtime=dataclasses.replace(cfg.runtime, compute_dtype="float32"),
+    )
+    cfg_inc = dataclasses.replace(
+        cfg,
+        runtime=dataclasses.replace(cfg.runtime, incremental_stem=True),
+    )
+    model = InsMOSModel(cfg)
+    params, state = model.init(jax.random.PRNGKey(5))
+
+    # temporally coherent fixed-frame scans: shared static world with
+    # per-scan visibility subsets (same regime as bench.make_window)
+    rng = np.random.default_rng(11)
+    P = cfg.runtime.max_points_per_scan
+    r = cfg.data.point_cloud_range
+    nw = int(P * 2.5)
+    world = np.stack(
+        [
+            rng.uniform(r[0], r[3], nw),
+            rng.uniform(r[1], r[4], nw),
+            rng.uniform(r[2], r[5], nw),
+            rng.uniform(0, 1, nw),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    scans = []
+    for i in range(6):
+        sel = rng.random(nw) < 0.45
+        pts = world[sel][: P - 64]
+        pts = pts + np.concatenate(
+            [rng.normal(0, 0.02, (len(pts), 3)), np.zeros((len(pts), 1))], -1
+        ).astype(np.float32)
+        scans.append(pts)
+
+    pipe_a = InferencePipeline(cfg, params, state)
+    pipe_b = InferencePipeline(cfg_inc, params, state)
+    for i, scan in enumerate(scans):
+        out_a = pipe_a.push_scan(scan)
+        out_b = pipe_b.push_scan(scan)
+        np.testing.assert_allclose(
+            np.asarray(out_b["point_logits"]),
+            np.asarray(out_a["point_logits"]),
+            atol=1e-4, rtol=1e-4, err_msg=f"step {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b["scores"]), np.asarray(out_a["scores"]),
+            atol=1e-4, rtol=1e-4, err_msg=f"step {i}",
+        )
