@@ -94,6 +94,38 @@ def basic_block_slab_pruned(p, s, x: Slab, kernel, tbl, mid: Slab, out: Slab,
     return res.replace_feats(res.mask_feats()), ns
 
 
+def basic_block_slab_cat(p, s, a: Slab, b: Slab, kernel, tbl, mid: Slab,
+                         out: Slab, *, train, bn_args, t_off1=0, t_off2=0):
+    """basic_block_slab_pruned over the channel-concat of (a, b) WITHOUT
+    materializing the interleaved cat (span engine only): conv1 and the
+    1x1 identity downsample split their weights by input channel
+    (conv(cat(a, b), W) == conv(a, W[:Ca]) + conv(b, W[Ca:])). Numerically
+    identical to cat_slab + basic_block_slab_pruned (tests/test_span_conv);
+    avoids cat_slab's per-t narrow-lane relayouts (~42 ms at L4 —
+    tools/profile_motion_convs)."""
+    ns = {}
+    ca = a.num_features
+    y = tbl.conv_cat(a, b, p["conv1"]["w"], mid, kernel, t0_off=t_off1)
+    f, ns["bn1"] = _bn_slab(p["bn1"], s["bn1"], y, train=train, bn_args=bn_args)
+    y = y.replace_feats(y.mask_feats(relu(f)))
+    y = tbl.conv(y, p["conv2"]["w"], out, kernel, t0_off=t_off2)
+    f, ns["bn2"] = _bn_slab(p["bn2"], s["bn2"], y, train=train, bn_args=bn_args)
+
+    ia = slice_slots(a, t_off1 + t_off2, out.T)
+    ib = slice_slots(b, t_off1 + t_off2, out.T)
+    w_dn = p["down"]["w"][0]
+    eye = jnp.eye(out.T, dtype=w_dn.dtype)
+    idt = mm(ia.feats, jnp.kron(eye, w_dn[:ca])) + mm(
+        ib.feats, jnp.kron(eye, w_dn[ca:])
+    )
+    idt, ns["down_bn"] = _bn_slab(
+        p["down_bn"], s["down_bn"], ia.replace_feats(idt),
+        train=train, bn_args=bn_args,
+    )
+    res = y.replace_feats(relu(f + idt))
+    return res.replace_feats(res.mask_feats()), ns
+
+
 def inverse_block_slab(p, s, coarse: Slab, fine: Slab, parent_idx, *, train, bn_args):
     """Stride-2 kernel-2 inverse conv + BN + ReLU (ME transpose conv)."""
     y = inverse_s2k2_conv(coarse, p["conv"]["w"], fine, parent_idx)

@@ -50,6 +50,7 @@ from ..sparse.slab import (
 from ..sparse.span_conv import make_span_plan
 from .blocks import init_basic_block, init_conv_bn
 from .blocks_slab import (
+    basic_block_slab_cat,
     basic_block_slab_pruned,
     cat_slab,
     inverse_block_slab,
@@ -343,6 +344,20 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
             if t0_new > t0_cur else tensor
         )
 
+    def block_cat(name, a, b, t0_in, lvl, mid_name, out_name):
+        """Residual block over cat(a, b). Span path: channel-split conv
+        (no interleaved cat materialized — blocks_slab.basic_block_slab_cat);
+        window path: cat_slab + the oracle block."""
+        if not span:
+            return block(name, cat_slab(a, b), t0_in, lvl, mid_name, out_name)
+        mid_t0, out_t0 = t0_of(mid_name), t0_of(out_name)
+        y, ns[name] = basic_block_slab_cat(
+            params[name], state[name], a, b, _K_BLOCK, tables[lvl],
+            resl(a, t0_in, mid_t0), resl(a, t0_in, out_t0),
+            t_off1=mid_t0 - t0_in, t_off2=out_t0 - mid_t0, **bn,
+        )
+        return y, out_t0
+
     def block(name, x_t, t0_in, lvl, mid_name, out_name):
         # mid/out templates are slot slices of the INPUT tensor: same site
         # set AND real occupancy (the level slabs carry empty occ on the
@@ -392,22 +407,22 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         params["up5"], state["up5"], y, resl(out_b2, t_b2, t_b3),
         parent_idx[4], **bn,
     )
-    y, t_b6 = block(
-        "block6", cat_slab(y, resl(out_b2, t_b2, t_b3)), t_b3, 4, "b6m", "b6o"
+    y, t_b6 = block_cat(
+        "block6", y, resl(out_b2, t_b2, t_b3), t_b3, 4, "b6m", "b6o"
     )
     y, ns["up6"] = inverse_block_slab(
         params["up6"], state["up6"], y, resl(out_b1, 0, t_b6), parent_idx[2],
         **bn,
     )
-    y, t_b7 = block(
-        "block7", cat_slab(y, resl(out_b1, 0, t_b6)), t_b6, 2, "b7m", "b7o"
+    y, t_b7 = block_cat(
+        "block7", y, resl(out_b1, 0, t_b6), t_b6, 2, "b7m", "b7o"
     )
     y, ns["up7"] = inverse_block_slab(
         params["up7"], state["up7"], y, resl(out_stem, 0, t_b7), parent_idx[1],
         **bn,
     )
-    y, t_b8 = block(
-        "block8", cat_slab(y, resl(out_stem, 0, t_b7)), t_b7, 1, "b8m", "b8o"
+    y, t_b8 = block_cat(
+        "block8", y, resl(out_stem, 0, t_b7), t_b7, 1, "b8m", "b8o"
     )
 
     w_f = params["final"]["w"]

@@ -120,6 +120,43 @@ def fold_weights(weight, kx, G, kt, T, dtype, T_out=None, t0_off=0):
     ).reshape(G, kx * T * cin, T_out * cout)
 
 
+@dataclasses.dataclass(frozen=True)
+class ConvPart:
+    """Static descriptor of one input segment of a multi-part span conv.
+
+    A multi-part conv runs ONE kernel pass over a lane-blocked concat of
+    several feature arrays (each part's (T*cin) lane block at `in_off`),
+    with the folded weight scattered to matching K rows — this replaces
+    per-t interleaved channel concats (ME.cat / occupancy channels), whose
+    narrow-lane relayouts measured ~3 ms per slice on TPU (PERF.md).
+    conv(cat(a, b), W) == conv_parts([a, b], [W[:, :Ca], W[:, Ca:]]).
+    """
+
+    cin: int
+    cout: int
+    T: int
+    kt: int = 1
+    in_off: int = 0   # lane offset of this part's T*cin block in feats_cat
+    out_off: int = 0  # lane offset of this part's T_out*cout output block
+    t0_off: int = 0
+
+
+def fold_weights_parts(weights, parts, kx, G, T_out, dtype, TC_tot, TO_tot):
+    """Fold each part's weight and scatter it into the joint
+    (G, kx*TC_tot, TO_tot) matrix at its (in_off, out_off) block. Parts'
+    K-row ranges are disjoint by construction; parts sharing out_off
+    accumulate through the matmul row sum (channel-split cat)."""
+    wg4 = jnp.zeros((G, kx, TC_tot, TO_tot), dtype)
+    for w, pt in zip(weights, parts):
+        wp = fold_weights(
+            w, kx, G, pt.kt, pt.T, dtype, T_out=T_out, t0_off=pt.t0_off
+        ).reshape(G, kx, pt.T * pt.cin, T_out * pt.cout)
+        wg4 = jax.lax.dynamic_update_slice(
+            wg4, wp.astype(dtype), (0, 0, pt.in_off, pt.out_off)
+        )
+    return wg4.reshape(G, kx * TC_tot, TO_tot)
+
+
 def _kernel(
     # scalar prefetch
     sbse_ref,  # (GP, NB) int32: bits 0..15 span start (16-row tile units),
@@ -291,40 +328,58 @@ class SpanPlan:
 
     def conv_with_occ(self, x: Slab, weight, out: Slab, kernel) -> Slab:
         """Strided conv that ALSO propagates occupancy (OR over gathered
-        children) in the same kernel pass: the input grows a per-t ones
-        channel and the weight a diagonal occ->occ output channel — free
-        when T*(cin+1) stays within the 128-lane padding. Replaces
-        span_strided_occ's separate pass for down convs."""
+        children) in the same kernel pass: the occupancy rides as a second
+        lane-blocked PART (cin=1 ones-weight) appended after the feature
+        lanes and landing after the feature outputs — usually inside the
+        128-lane padding both ways, so the occ pass is free. Replaces the
+        old per-t interleaved channel layout, whose 2T narrow-lane slices
+        relayout-copied ~3 ms each (PERF.md; tools/profile_motion_convs)."""
         kt = kernel[3] if len(kernel) == 4 else 1
         assert kt == 1, "occ folding assumes a t-kernel of 1 (down convs)"
         K, cin, cout = weight.shape
         T = x.T
         f = x.mask_feats()
         occf = jnp.where(x.valid[:, None], x.occ, False).astype(f.dtype)
-        cols = []
-        for t in range(T):
-            cols.append(f[:, t * cin : (t + 1) * cin])
-            cols.append(occf[:, t : t + 1])
-        fa = jnp.concatenate(cols, axis=-1)  # (V, T*(cin+1))
-        wa = (
-            jnp.zeros((K, cin + 1, cout + 1), weight.dtype)
-            .at[:, :cin, :cout].set(weight)
-            .at[:, cin, cout].set(1.0)
+        fa = jnp.concatenate([f, occf], axis=-1)  # (V, T*cin + T)
+        TO = T * cout
+        parts = (
+            ConvPart(cin, cout, T, 1, 0, 0),
+            ConvPart(1, 1, T, 1, T * cin, TO),
         )
-        feats = span_conv_apply(
-            x.keys, fa, out.coords, out.valid, wa, self, T, 1
-        )  # (V, T*(cout+1))
-        co = cout + 1
-        out_cols = []
-        occ_cols = []
-        for t in range(T):
-            out_cols.append(feats[:, t * co : t * co + cout])
-            occ_cols.append(feats[:, t * co + cout : (t + 1) * co])
-        out_feats = jnp.concatenate(out_cols, axis=-1)
-        occ = (jnp.concatenate(occ_cols, axis=-1) > 0.5) & out.valid[:, None]
+        w_occ = jnp.ones((K, 1, 1), weight.dtype)
+        feats = span_conv_parts(
+            x.keys, fa, [weight, w_occ], parts, out.coords, out.valid, self, T
+        )  # (V, T*cout + T)
+        out_feats = feats[:, :TO]
+        occ = (feats[:, TO : TO + T] > 0.5) & out.valid[:, None]
         res = Slab(
             out.keys, out.coords, occ, out_feats, out.valid, out.dims, out.T
         )
+        return res.replace_feats(res.mask_feats())
+
+    def conv_cat(self, a: Slab, b: Slab, weight, out: Slab, kernel,
+                 t0_off: int = 0) -> Slab:
+        """Conv over the channel-concat of two slabs on the same site set
+        (ME.cat feeding a conv) WITHOUT materializing the per-t interleaved
+        cat: the two feature arrays are lane-block concatenated (one
+        aligned-ish copy) and the weight splits by input channel —
+        conv(cat(a, b), W) == conv_parts([a, b], [W[:, :Ca], W[:, Ca:]]).
+        Replaces cat_slab + conv on the span path (cat_slab's T narrow
+        slices measured ~42 ms at L4 — tools/profile_motion_convs)."""
+        kt = kernel[3] if len(kernel) == 4 else 1
+        ca, cb = a.num_features, b.num_features
+        cout = weight.shape[2]
+        T = a.T
+        fa = jnp.concatenate([a.mask_feats(), b.mask_feats()], axis=-1)
+        parts = (
+            ConvPart(ca, cout, T, kt, 0, 0, t0_off),
+            ConvPart(cb, cout, T, kt, T * ca, 0, t0_off),
+        )
+        feats = span_conv_parts(
+            a.keys, fa, [weight[:, :ca], weight[:, ca:]], parts,
+            out.coords, out.valid, self, out.T,
+        )
+        res = out.replace_feats(feats)
         return res.replace_feats(res.mask_feats())
 
 
@@ -772,7 +827,6 @@ def _jumbo_kernel(
         out_ref[:] = io_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("T", "kt", "T_out", "t0_off"))
 def span_conv_apply(
     x_keys,  # (Vin,) int32 sorted input site keys
     x_feats,  # (Vin, T*cin) input features (zeros at padding/non-occ)
@@ -785,20 +839,40 @@ def span_conv_apply(
     T_out: int | None = None,
     t0_off: int = 0,
 ):
-    """Run the span kernel (+ jumbo coverage pass) with a precomputed
-    plan. Returns out_feats (V, T_out*cout) f32."""
+    """Single-part wrapper over span_conv_parts. Returns (V, T_out*cout)."""
     if T_out is None:
         T_out = T
+    cin, cout = weight.shape[1], weight.shape[2]
+    part = ConvPart(cin, cout, T, kt, 0, 0, t0_off)
+    return span_conv_parts(
+        x_keys, x_feats, [weight], (part,), out_coords, out_valid, plan,
+        T_out,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("parts", "T_out"))
+def span_conv_parts(
+    x_keys,  # (Vin,) int32 sorted input site keys
+    feats_cat,  # (Vin, TC_tot) lane-blocked part features (zeros at padding)
+    weights,  # list of (kx*G*kt_i, cin_i, cout_i), aligned with `parts`
+    parts: tuple,  # tuple[ConvPart] (static)
+    out_coords,  # (V, 3)
+    out_valid,  # (V,)
+    plan: SpanPlan,
+    T_out: int,
+):
+    """Run the span kernel (+ jumbo coverage pass) with a precomputed
+    plan over a multi-part input (see ConvPart). Returns (V, TO_tot) f32."""
     kernel3 = plan.kernel3
     span, bs = plan.span, plan.bs
     stride3, pad3, in_dims = plan.stride3, plan.pad3, plan.in_dims
     kx = int(kernel3[0])
     groups = _groups_yz(kernel3)
     G = len(groups)
-    K, cin, cout = weight.shape
-    assert K == kx * G * kt
-    TC = T * cin
-    TO = T_out * cout
+    for w, pt in zip(weights, parts):
+        assert w.shape[0] == kx * G * pt.kt
+    TC = feats_cat.shape[1]
+    TO = max(pt.out_off + T_out * pt.cout for pt in parts)
     # lane-pad feature/output widths to the 128-lane DMA tiling; the
     # hardware pads every array to 128 lanes anyway, this makes it explicit
     TCP = -(-TC // 128) * 128
@@ -813,23 +887,22 @@ def span_conv_apply(
     import os
 
     if os.environ.get("INSMOS_SPAN_DEBUG"):
-        G_ = G
-        TCP_ = -(-T * cin // 128) * 128
-        TOP_ = -(-(T_out or T) * cout // 128) * 128
-        per_g = kx * TCP_ * TOP_ * (2 if weight.dtype == jnp.bfloat16 else 4)
-        GI_ = max(1, min(G_, (4 << 20) // per_g))
-        GO_ = -(-G_ // GI_)
+        per_g = kx * TCP * TOP * (2 if weights[0].dtype == jnp.bfloat16 else 4)
+        GI_ = max(1, min(G, (4 << 20) // per_g))
+        GO_ = -(-G // GI_)
         GP_ = GO_ * GI_
         print(
             f"[span] V={V} Vin={x_keys.shape[0]} bs={bs} NB={NB} span={span}"
-            f" kx={kx} G={G_} GI={GI_} GP={GP_} jbcap={jbcap} JW={JW}"
+            f" kx={kx} G={G} GI={GI_} GP={GP_} jbcap={jbcap} JW={JW}"
             f" sbse={GP_ * NB * 4}B jstart={GP_ * jbcap * JW * 4}B"
-            f" TCP={TCP_} TOP={TOP_}",
+            f" TCP={TCP} TOP={TOP} parts={len(parts)}",
             flush=True,
         )
-    dtype = weight.dtype if weight.dtype == jnp.bfloat16 else jnp.float32
-    wg = fold_weights(
-        weight, kx, G, kt, T, dtype, T_out=T_out, t0_off=t0_off
+    dtype = (
+        weights[0].dtype if weights[0].dtype == jnp.bfloat16 else jnp.float32
+    )
+    wg = fold_weights_parts(
+        weights, parts, kx, G, T_out, dtype, TC, TO
     )  # (G, kx*TC, TO)
     wg = jnp.pad(
         wg.reshape(G, kx, TC, TO), ((0, 0), (0, 0), (0, TCP - TC), (0, TOP - TO))
@@ -855,7 +928,7 @@ def span_conv_apply(
     )  # (nr16, span)
     feats_pad = jnp.concatenate(
         [
-            jnp.pad(x_feats.astype(dtype), ((0, 0), (0, TCP - TC))),
+            jnp.pad(feats_cat.astype(dtype), ((0, 0), (0, TCP - TC))),
             jnp.zeros((span + 16, TCP), dtype),
         ]
     )

@@ -323,3 +323,44 @@ def test_span_dense_boundary_row_aliasing():
     np.testing.assert_allclose(
         np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
     )
+
+
+def test_block_cat_matches_cat_block():
+    """basic_block_slab_cat (channel-split conv, no materialized cat) ==
+    cat_slab + basic_block_slab_pruned on the same span plan."""
+    from insmos_tpu.nn.blocks import init_basic_block
+    from insmos_tpu.nn.blocks_slab import (
+        basic_block_slab_cat,
+        basic_block_slab_pruned,
+        cat_slab,
+    )
+    from insmos_tpu.sparse.slab import slice_slots
+    from insmos_tpu.sparse.span_conv import make_span_plan
+
+    rng = np.random.default_rng(21)
+    ca, cb, cout = 5, 3, 6
+    slab = _random_slab(rng, 500, 1024, ca)
+    fb = rng.normal(size=(slab.capacity, T * cb)).astype(np.float32)
+    b = slab.replace_feats(jnp.asarray(fb))
+    b = b.replace_feats(b.mask_feats())
+    kernel = (3, 3, 3, 3)
+    p, s = init_basic_block(
+        jax.random.PRNGKey(3), kernel, ca + cb, cout, downsample=True
+    )
+    plan = make_span_plan(
+        slab.keys, slab.coords, slab.valid, kernel[:3], in_dims=DIMS3,
+        span=256, bs=64,
+    )
+    bn = dict(train=False, bn_args={"momentum": 0.1, "eps": 1e-5})
+    mid = slice_slots(slab, 1, T - 1)
+    out = slice_slots(slab, 2, T - 2)
+    ref, _ = basic_block_slab_pruned(
+        p, s, cat_slab(slab, b), kernel, plan, cat_slab(mid, slice_slots(b, 1, T - 1)),
+        cat_slab(out, slice_slots(b, 2, T - 2)), t_off1=1, t_off2=1, **bn,
+    )
+    got, _ = basic_block_slab_cat(
+        p, s, slab, b, kernel, plan, mid, out, t_off1=1, t_off2=1, **bn,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
+    )
