@@ -45,6 +45,15 @@ def parse_args(argv=None):
         "--pod", action="store_true",
         help="stream sequences in lockstep, one per device (pod inference)",
     )
+    p.add_argument(
+        "--fixed-frame", action="store_true", dest="fixed_frame",
+        help="fixed-odometry framing + incremental stem reuse: scans are "
+        "expressed in a fixed-orientation voxel-snapped frame so the "
+        "device window shifts by integer voxels and per-slot stem "
+        "activations are reused across steps (faster streaming; the "
+        "scene keeps odometry orientation instead of the reference's "
+        "per-step re-rotation — a documented deviation)",
+    )
     return p.parse_args(argv)
 
 
@@ -138,7 +147,21 @@ def run(args) -> dict:
     if sequences is None:
         sequences = VALID_SEQS if args.split == "valid" else TEST_SEQS
 
+    fixed_frame = getattr(args, "fixed_frame", False)
+    if fixed_frame:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            runtime=dataclasses.replace(cfg.runtime, incremental_stem=True),
+        )
+
     if args.pod:
+        if fixed_frame:
+            raise SystemExit(
+                "--fixed-frame is not yet supported with --pod; run "
+                "single-stream or drop --fixed-frame"
+            )
         return _run_pod(args, cfg, params, state, list(sequences))
 
     pipe = InferencePipeline(cfg, params, state)
@@ -161,7 +184,9 @@ def run(args) -> dict:
         scan_iter = prefetch_map(
             read_point_cloud, files, num_workers=cfg.data.num_workers
         )
-        for idx, out in enumerate(pipe.stream_sequence(scan_iter, poses)):
+        for idx, out in enumerate(
+            pipe.stream_sequence(scan_iter, poses, fixed_frame=fixed_frame)
+        ):
             write_scan_artifacts(
                 dirs, idx, out["point_logits"], out["boxes"], out["scores"], out["labels"]
             )

@@ -117,15 +117,27 @@ def _level_dims(dims3, factor):
 
 
 def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
-                      span, chunk, bn, stem_cache, stats):
+                      span, chunk, bn, stem_cache, stats, cache_shift=None):
     """Fixed-frame streaming stem: T=1 pass on the new scan's slab + a
     key-matched gather of the previous step's cached slots (shifted one
     slot left). Exact because the stem's t-kernel is 1: slot t's output
     is supported on scan t's own site set and depends on no other scan,
     so it is stationary under the window shift in a fixed voxel frame
     (every (site, t<=W-2) pair occupied in this window was present in the
-    previous window's slab). See tools/proto_incremental_stem.py."""
+    previous window's slab). See tools/proto_incremental_stem.py.
+
+    ``cache_shift`` ((3,) int32, optional) is the integer-voxel translation
+    applied to the stored window this step (pipeline tf = pure translation
+    by cache_shift * voxel): a site at new-frame coords c was at c +
+    cache_shift in the previous step's frame, so cache queries are shifted
+    instead of re-sorting the cache (stem outputs are translation-
+    equivariant under integer-voxel shifts). Sites whose shifted coords
+    fall outside the grid (the crop just moved onto them) miss and get
+    zero history — they lie in the crop margin beyond the 3D UNet's range
+    (config.py crop_range vs point_cloud_range)."""
     from ..sparse.span_conv import _bisect
+    from ..sparse.slab import linearize3
+    from ..sparse.tensor import KEY_SENTINEL as KEY_SENTINEL_
 
     W, P = point_valid.shape
     cap0 = x.capacity
@@ -160,9 +172,20 @@ def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
 
     # cached slots: previous window's (site, t) -> this window's (site, t-1)
     n_iter = max(1, int(np.ceil(np.log2(cap0 + 1))))
-    pos = _bisect(stem_cache["keys"], x.keys, n_iter)
+    if cache_shift is None:
+        qkeys = x.keys
+    else:
+        # integer-voxel window translation: query the cache at the site's
+        # PREVIOUS-frame coords (c + shift); OOB -> sentinel (no match)
+        qkeys = linearize3(x.coords + cache_shift[None, :], dims1)
+        qkeys = jnp.where(x.valid, qkeys, jnp.int32(KEY_SENTINEL_))
+    pos = _bisect(stem_cache["keys"], qkeys, n_iter)
     pos = jnp.clip(pos, 0, cap0 - 1)
-    hit = (jnp.take(stem_cache["keys"], pos) == x.keys) & x.valid
+    hit = (
+        (jnp.take(stem_cache["keys"], pos) == qkeys)
+        & x.valid
+        & (qkeys != KEY_SENTINEL_)
+    )
     rows = jnp.take(stem_cache["feats"], pos, axis=0)  # (cap0, W*C)
     rows = jnp.where(hit[:, None], rows, 0.0)
     shifted = jnp.concatenate(
@@ -181,7 +204,8 @@ def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
 
 def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                       train: bool, prune: bool | None = None,
-                      stem_cache: dict | None = None):
+                      stem_cache: dict | None = None, cache_shift=None,
+                      emit_cache: bool = False):
     """points: (W, P, 4+) pose-aligned window; point_valid: (W, P).
 
     Returns (motion feats for the CURRENT scan (P, C), new_state, stats
@@ -375,14 +399,14 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         assert not train, "incremental stem is an inference-only path"
         out_stem = _incremental_stem(
             params, state, cfg, x, coords3, point_valid, dims1, span, chunk,
-            bn, stem_cache, stats,
+            bn, stem_cache, stats, cache_shift=cache_shift,
         )
         ns["stem"] = state["stem"]
     else:
         out_stem, ns["stem"] = subm_block_slab(
             params["stem"], state["stem"], x, _K_STEM, tables["stem"], chunk=chunk, **bn
         )
-    if stem_cache is not None:
+    if stem_cache is not None or emit_cache:
         stats["stem_cache"] = {"keys": x.keys, "feats": out_stem.feats}
     y, ns["down1"] = subm_block_slab(
         params["down1"], state["down1"], out_stem, _K_DOWN, down_tables[2],

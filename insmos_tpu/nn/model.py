@@ -39,14 +39,18 @@ class InsMOSModel:
         return params, state
 
     def forward(self, params, state, sample: dict, *, train: bool,
-                stem_cache: dict | None = None) -> dict:
+                stem_cache: dict | None = None, cache_shift=None,
+                emit_cache: bool = False) -> dict:
         """sample: dict of one WindowSample's arrays (no batch dim).
 
         Returns a dict with per-point MOS logits for the current scan,
         motion logits, detection outputs, and the new BN state.
         `stem_cache` enables the fixed-frame incremental stem (streaming
         inference; see minkunet4d.motionnet_forward) — the refreshed cache
-        is returned under "stem_cache".
+        is returned under "stem_cache". `cache_shift` is the step's
+        integer-voxel window translation (cache queries are re-centered by
+        it); `emit_cache` makes the full (non-incremental) stem also emit
+        a cache, for streaming recovery after an incompatible pose step.
         """
         from .layers import cast_compute
 
@@ -62,7 +66,8 @@ class InsMOSModel:
 
         motion_cur, ns_motion, motion_stats = motionnet_forward(
             params["motion"], state["motion"], cfg, points, point_valid,
-            train=train, stem_cache=stem_cache,
+            train=train, stem_cache=stem_cache, cache_shift=cache_shift,
+            emit_cache=emit_cache,
         )
 
         current = points[W - 1]  # (P, 4)

@@ -291,3 +291,106 @@ def test_incremental_stem_streaming_exact():
             np.asarray(out_b["scores"]), np.asarray(out_a["scores"]),
             atol=1e-4, rtol=1e-4, err_msg=f"step {i}",
         )
+
+
+def test_incremental_stem_moving_ego_fixed_frame():
+    """VERDICT round-2 #3: the incremental stem must be exact under a
+    MOVING ego pose via fixed-odometry framing (pipeline.
+    fixed_frame_transform): every step transform is a pure integer-voxel
+    translation, cache queries are re-centered by it, and the streamed
+    outputs must match the direct (full-stem) pipeline fed identical
+    fixed-frame scans. Also: an incompatible (rotating) tf must route
+    through the full-stem recovery step — never silently corrupt the
+    cache — and streaming must stay exact afterwards."""
+    from insmos_tpu.pipeline import InferencePipeline, fixed_frame_transform
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        runtime=dataclasses.replace(cfg.runtime, compute_dtype="float32"),
+    )
+    cfg_inc = dataclasses.replace(
+        cfg,
+        runtime=dataclasses.replace(cfg.runtime, incremental_stem=True),
+    )
+    model = InsMOSModel(cfg)
+    params, state = model.init(jax.random.PRNGKey(7))
+
+    # static world; the ego translates AND rotates scan to scan
+    rng = np.random.default_rng(23)
+    nw = 9000
+    world = np.stack(
+        [
+            rng.uniform(-4.0, 9.0, nw),
+            rng.uniform(-5.0, 8.0, nw),
+            rng.uniform(-2.5, 0.8, nw),
+            rng.uniform(0, 1, nw),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    def rotz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+
+    n_steps = 6
+    poses, scans = [], []
+    for i in range(n_steps):
+        t = np.array([0.53 * i, 0.27 * i, 0.0])
+        R = rotz(0.07 * i)
+        pose = np.eye(4)
+        pose[:3, :3] = R
+        pose[:3, 3] = t
+        poses.append(pose)
+        near = np.linalg.norm(world[:, :2] - t[None, :2], axis=1) < 5.5
+        vis = world[near][:1500]
+        sensor = vis.copy()
+        sensor[:, :3] = (vis[:, :3] - t[None]) @ R  # R^-1 = R.T applied right
+        scans.append(sensor.astype(np.float32))
+
+    pipe_a = InferencePipeline(cfg, params, state)  # direct full stem
+    pipe_b = InferencePipeline(cfg_inc, params, state)  # incremental
+
+    prev_snap = None
+    for i in range(n_steps):
+        fixed, tf, prev_snap = fixed_frame_transform(
+            scans[i], poses[i], prev_snap, cfg.data.voxel_size[0]
+        )
+        # window translations really are non-zero integer voxel shifts
+        if i > 0:
+            k = tf[:3, 3] / cfg.data.voxel_size[0]
+            assert np.allclose(k, np.round(k), atol=1e-3) and np.any(
+                np.round(k) != 0
+            )
+        out_a = pipe_a.push_scan(fixed, tf)
+        out_b = pipe_b.push_scan(fixed, tf)
+        np.testing.assert_allclose(
+            np.asarray(out_b["point_logits"]),
+            np.asarray(out_a["point_logits"]),
+            atol=1e-4, rtol=1e-4, err_msg=f"step {i}",
+        )
+    assert pipe_b.n_full_steps == 0
+
+    # incompatible tf (rotation): must take the full-stem recovery path
+    tf_rot = np.eye(4, dtype=np.float32)
+    tf_rot[:3, :3] = rotz(0.3).astype(np.float32)
+    out_a = pipe_a.push_scan(scans[0], tf_rot)
+    out_b = pipe_b.push_scan(scans[0], tf_rot)
+    assert pipe_b.n_full_steps == 1
+    np.testing.assert_allclose(
+        np.asarray(out_b["point_logits"]), np.asarray(out_a["point_logits"]),
+        atol=1e-4, rtol=1e-4,
+    )
+
+    # the rebuilt cache must keep streaming exact afterwards
+    tf_shift = np.eye(4, dtype=np.float32)
+    tf_shift[:3, 3] = (np.array([3, -2, 1]) * cfg.data.voxel_size[0]).astype(
+        np.float32
+    )
+    out_a = pipe_a.push_scan(scans[1], tf_shift)
+    out_b = pipe_b.push_scan(scans[1], tf_shift)
+    assert pipe_b.n_full_steps == 1  # compatible again: incremental path
+    np.testing.assert_allclose(
+        np.asarray(out_b["point_logits"]), np.asarray(out_a["point_logits"]),
+        atol=1e-4, rtol=1e-4,
+    )
