@@ -46,6 +46,7 @@ sit above measured occupancy and monitored.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import Sequence
@@ -477,6 +478,23 @@ def _shift_concat(feats_pad, kx, vin):
 
 def window_conv(
     x: Slab,
+    weight,
+    tables: WindowTables,
+    out: Slab,
+    kernel,
+    chunk: int | None = None,
+    t0_off: int = 0,
+) -> Slab:
+    """See _window_conv_impl; this wrapper binds the static arguments
+    positionally for jax.checkpoint."""
+    return _window_conv_impl(x, weight, tables, out, tuple(kernel), chunk, t0_off)
+
+
+@functools.partial(
+    jax.checkpoint, static_argnums=(4, 5, 6), prevent_cse=False
+)
+def _window_conv_impl(
+    x: Slab,
     weight,  # (K, Cin, Cout), K enumerated x-fastest / t-slowest
     tables: WindowTables,
     out: Slab,  # output site set (occ used for masking)
@@ -494,6 +512,11 @@ def window_conv(
     and ONE matmul against a weight with the whole t-kernel structure
     folded in as a (T, T) band (block-diagonal over t), so the temporal
     offsets of a 3^4 kernel cost no extra passes.
+
+    jax.checkpoint: the per-group (V, kx*T*C) gathered windows would
+    otherwise be SAVED as backward residuals — measured 95.5 GiB at
+    reference training scale (tools/measure_train_step.py, PERF.md) —
+    so backward recomputes the gathers from the (V, T*C) inputs instead.
     """
     kx = tables.kx
     kt = kernel[3] if len(kernel) == 4 else 1
@@ -590,6 +613,7 @@ def strided_occ(
     return Slab(out.keys, out.coords, occ, out.feats, out.valid, out.dims, out.T)
 
 
+@functools.partial(jax.checkpoint, prevent_cse=False)
 def inverse_s2k2_conv(
     coarse: Slab,
     weight,  # (8, cin, cout) or (K=8*kt?...) — kernel (2,2,2[,1])
