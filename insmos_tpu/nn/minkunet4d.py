@@ -47,7 +47,7 @@ from ..sparse.slab import (
     strided_occ,
     window_tables,
 )
-from ..sparse.span_conv import make_span_plan
+from ..sparse.span_conv import make_span_plan, make_span_plans
 from .blocks import init_basic_block, init_conv_bn
 from .blocks_slab import (
     basic_block_slab_cat,
@@ -261,51 +261,58 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         dims[fout] = _level_dims(dims1, fout)
         grid = None if span else site_grid(slabs[fin])
         s_in = slabs[fin]
-        if fin == 1 and stem_cache is None:
-            # (the incremental-stem path plans over the new scan's slab
-            # instead — see _incremental_stem)
-            tables["stem"] = (
-                make_span_plan(
-                    s_in.keys, s_in.coords, s_in.valid, _K3_STEM,
-                    in_dims=dims[fin], span=256, jbcap=128, jwin=3,
-                    # spans sized to the p99 interval (tools/probe_spans);
-                    # the tail goes through the jumbo coverage pass, whose
-                    # exact counter bench.py gates at 0
-                )
-                if span
-                else window_tables(
-                    grid, dims[fin], s_in.coords, s_in.valid, _K3_STEM,
-                    vin=caps[0],
-                )
-            )
-        tables[fin] = (
-            make_span_plan(
-                s_in.keys, s_in.coords, s_in.valid, _K3_BLOCK,
-                in_dims=dims[fin], bs=128, span=256,
-                jbcap=128 if fin == 4 else 48, jwin=2,
-            )
-            if span
-            else window_tables(
-                grid, dims[fin], s_in.coords, s_in.valid, _K3_BLOCK,
-                vin=s_in.capacity,
-            )
-        )
         nxt, n_s, n_d = derive_strided_sites(
             s_in, _K3_DOWN, _S2, _P0, dims[fout], cap
         )
         stats["sites"].append(n_s)
         stats["dropped"].append(n_d)
         if span:
-            # strided out-blocks crossing a y/z row boundary skip huge key
-            # ranges (probe_spans: p999 up to ~25k rows) -> generous jumbo
-            # coverage; occupancy is folded into the down conv itself
-            # (conv_with_occ), so no separate occ pass runs here
-            down_tables[fout] = make_span_plan(
-                s_in.keys, nxt.coords, nxt.valid, _K3_DOWN,
-                stride3=_S2, pad3=_P0, in_dims=dims[fin], bs=128, span=256,
-                jbcap=256 if fout == 8 else 96, jwin=3,
-            )
+            # All this level's plans (stem/block/down) bisect the SAME
+            # sorted key array — one merged sort serves every query batch
+            # (make_span_plans). Spans are sized to the p99 interval
+            # (tools/probe_spans); the tail goes through the jumbo
+            # coverage pass, whose exact counter bench.py gates at 0.
+            # Strided out-blocks crossing a y/z row boundary skip huge key
+            # ranges (p999 ~25k rows) -> generous jumbo coverage there;
+            # occupancy is folded into the down conv itself
+            # (conv_with_occ), so no separate occ pass runs.
+            reqs = [
+                dict(
+                    out_coords=s_in.coords, out_valid=s_in.valid,
+                    kernel3=_K3_BLOCK, in_dims=dims[fin], bs=128, span=256,
+                    jbcap=128 if fin == 4 else 48, jwin=2,
+                ),
+                dict(
+                    out_coords=nxt.coords, out_valid=nxt.valid,
+                    kernel3=_K3_DOWN, stride3=_S2, pad3=_P0,
+                    in_dims=dims[fin], bs=128, span=256,
+                    jbcap=256 if fout == 8 else 96, jwin=3,
+                ),
+            ]
+            if fin == 1 and stem_cache is None:
+                # (the incremental-stem path plans over the new scan's
+                # slab instead — see _incremental_stem)
+                reqs.append(
+                    dict(
+                        out_coords=s_in.coords, out_valid=s_in.valid,
+                        kernel3=_K3_STEM, in_dims=dims[fin], span=256,
+                        jbcap=128, jwin=3,
+                    )
+                )
+            plans = make_span_plans(s_in.keys, reqs)
+            tables[fin], down_tables[fout] = plans[0], plans[1]
+            if len(plans) == 3:
+                tables["stem"] = plans[2]
         else:
+            if fin == 1 and stem_cache is None:
+                tables["stem"] = window_tables(
+                    grid, dims[fin], s_in.coords, s_in.valid, _K3_STEM,
+                    vin=caps[0],
+                )
+            tables[fin] = window_tables(
+                grid, dims[fin], s_in.coords, s_in.valid, _K3_BLOCK,
+                vin=s_in.capacity,
+            )
             down_tables[fout] = window_tables(
                 grid, dims[fin], nxt.coords, nxt.valid, _K3_DOWN,
                 stride3=_S2, pad3=_P0, vin=s_in.capacity,

@@ -165,7 +165,7 @@ def unet3d_forward(
 
     # ------------- site derivation + window tables / span plans -------
     from .minkunet4d import use_span_engine
-    from ..sparse.span_conv import make_span_plan
+    from ..sparse.span_conv import make_span_plan, make_span_plans
 
     span = use_span_engine(cfg, train)
     level_sites = {1: x}  # SparseTensor site sets (for pairs/inverse)
@@ -177,18 +177,6 @@ def unet3d_forward(
         fin = stride // 2
         s_in = slabs[fin]
         grid = None if span else site_grid(s_in)
-        tables[fin] = (
-            make_span_plan(
-                s_in.keys, s_in.coords, s_in.valid, _K3, in_dims=dims[fin],
-                bs=128, span=256,
-                jbcap=96 if fin == 4 else 48, jwin=2,
-            )
-            if span
-            else window_tables(
-                grid, dims[fin], s_in.coords, s_in.valid, _K3,
-                vin=s_in.capacity,
-            )
-        )
         sites, prs, kis = strided_conv_sites(
             level_sites[fin], _K3, _S2, _P1, dims[stride], caps[lvl - 1],
             with_pairs=True,
@@ -196,50 +184,66 @@ def unet3d_forward(
         pair_maps[stride] = (prs, kis)
         level_sites[stride] = sites
         nxt = slab_from_sparse(sites.sites())
-        down_tables[stride] = (
-            make_span_plan(
-                s_in.keys, nxt.coords, nxt.valid, _K3,
-                stride3=_S2, pad3=_P1, in_dims=dims[fin], bs=128,
-                span=384 if stride == 8 else 256,
-                jbcap=112 if stride == 8 else 80, jwin=3,
+        if span:
+            # one merged bisection sort per level (make_span_plans)
+            tables[fin], down_tables[stride] = make_span_plans(
+                s_in.keys,
+                [
+                    dict(
+                        out_coords=s_in.coords, out_valid=s_in.valid,
+                        kernel3=_K3, in_dims=dims[fin], bs=128, span=256,
+                        jbcap=96 if fin == 4 else 48, jwin=2,
+                    ),
+                    dict(
+                        out_coords=nxt.coords, out_valid=nxt.valid,
+                        kernel3=_K3, stride3=_S2, pad3=_P1,
+                        in_dims=dims[fin], bs=128,
+                        span=384 if stride == 8 else 256,
+                        jbcap=112 if stride == 8 else 80, jwin=3,
+                    ),
+                ],
             )
-            if span
-            else window_tables(
+        else:
+            tables[fin] = window_tables(
+                grid, dims[fin], s_in.coords, s_in.valid, _K3,
+                vin=s_in.capacity,
+            )
+            down_tables[stride] = window_tables(
                 grid, dims[fin], nxt.coords, nxt.valid, _K3,
                 stride3=_S2, pad3=_P1, vin=s_in.capacity,
             )
-        )
         slabs[stride] = nxt
         stats["sites"].append(jnp.sum(sites.valid))
     s8 = slabs[8]
     grid8 = None if span else site_grid(s8)
-    tables[8] = (
-        make_span_plan(
-            s8.keys, s8.coords, s8.valid, _K3, in_dims=dims[8],
-            bs=128, span=384, jbcap=64, jwin=2,
-        )
-        if span
-        else window_tables(
-            grid8, dims[8], s8.coords, s8.valid, _K3, vin=s8.capacity
-        )
-    )
     # conv_out: z-only stride-2 -> encoded sites (stride 8 in xy, 16 in z)
     dims_out = (dims[8][0], dims[8][1], (dims[8][2] - _KZ[2]) // _SZ[2] + 1)
     sites_out, prs_out, kis_out = strided_conv_sites(
         level_sites[8], _KZ, _SZ, _PZ, dims_out, caps[4], with_pairs=True
     )
-    out_tbl = (
-        make_span_plan(
-            s8.keys, sites_out.coords, sites_out.valid, _KZ,
-            stride3=_SZ, pad3=_PZ, in_dims=dims[8], bs=128, span=384,
-            jbcap=48, jwin=3,
+    if span:
+        tables[8], out_tbl = make_span_plans(
+            s8.keys,
+            [
+                dict(
+                    out_coords=s8.coords, out_valid=s8.valid, kernel3=_K3,
+                    in_dims=dims[8], bs=128, span=384, jbcap=64, jwin=2,
+                ),
+                dict(
+                    out_coords=sites_out.coords, out_valid=sites_out.valid,
+                    kernel3=_KZ, stride3=_SZ, pad3=_PZ, in_dims=dims[8],
+                    bs=128, span=384, jbcap=48, jwin=3,
+                ),
+            ],
         )
-        if span
-        else window_tables(
+    else:
+        tables[8] = window_tables(
+            grid8, dims[8], s8.coords, s8.valid, _K3, vin=s8.capacity
+        )
+        out_tbl = window_tables(
             grid8, dims[8], sites_out.coords, sites_out.valid, _KZ,
             stride3=_SZ, pad3=_PZ, vin=s8.capacity,
         )
-    )
     slab_out = slab_from_sparse(sites_out.sites())
     stats["span_overflow"] = (
         [

@@ -39,6 +39,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,11 @@ from .tensor import KEY_SENTINEL
 
 BS = 128  # sites per block
 SPAN = 256  # input span rows fetched per (block, group)
+# Packed-window kernel: kx× fewer extraction FLOPs on paper, but measured
+# 2.5× SLOWER end-to-end at full scale on real TPU (0.671 vs 1.665 scans/s,
+# 2026-08-19) — the per-row packing scatter + narrow-lane DMA pattern costs
+# more than the extraction dots it saves. Kept opt-in for future tuning.
+PACKED_ENABLE = os.environ.get("INSMOS_PACKED", "0") == "1"
 
 
 def _bisect(keys, queries, n_iter):
@@ -317,12 +323,29 @@ class SpanPlan:
 
     def conv(self, x: Slab, weight, out: Slab, kernel, chunk=None,
              t0_off: int = 0) -> Slab:
-        """window_conv-compatible entry (chunk ignored)."""
+        """window_conv-compatible entry (chunk ignored). Dispatches to the
+        packed-window kernel when the kx-tap window fits 128 lanes (the
+        small-channel fast path: kx times fewer extraction FLOPs)."""
         kt = kernel[3] if len(kernel) == 4 else 1
-        feats = span_conv_apply(
-            x.keys, x.mask_feats(), out.coords, out.valid, weight,
-            self, x.T, kt, out.T, t0_off,
-        )
+        cin = weight.shape[1]
+        # span % 128: Mosaic requires the keys-DMA lane slice (8, span) to
+        # be 128-lane aligned on hardware (keys2 lives 128-lane tiled in
+        # VMEM); production plans use span=256. Interpret mode (CPU tests)
+        # has no such constraint.
+        if PACKED_ENABLE and (
+            self.span % 128 == 0 or _interpret()
+        ) and packed_layout(
+            self.kernel3, x.T, cin, self.in_dims
+        ) is not None:
+            feats = span_conv_packed(
+                x.keys, x.mask_feats(), weight, out.coords, out.valid,
+                self, x.T, kt, out.T, t0_off,
+            )
+        else:
+            feats = span_conv_apply(
+                x.keys, x.mask_feats(), out.coords, out.valid, weight,
+                self, x.T, kt, out.T, t0_off,
+            )
         res = out.replace_feats(feats)
         return res.replace_feats(res.mask_feats())
 
@@ -383,51 +406,21 @@ class SpanPlan:
         return res.replace_feats(res.mask_feats())
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "kernel3", "stride3", "pad3", "in_dims", "span", "bs", "jbcap",
-        "jwin", "exact_stats",
-    ),
-)
-def make_span_plan(
-    x_keys,  # (Vin,) int32 sorted input site keys
-    out_coords,  # (V, 3)
-    out_valid,  # (V,)
-    kernel3,
-    stride3=(1, 1, 1),
-    pad3=None,
-    in_dims=None,
-    span: int = SPAN,
-    bs: int = BS,
-    jbcap: int | None = None,
-    jwin: int = 4,
-    exact_stats: bool = False,
-) -> SpanPlan:
-    """Compute per-(group, block) span starts by bisection over the sorted
-    input keys.
-
-    Main pass: every block's window is HEAD-anchored at its first site's
-    key position. Blocks whose key interval exceeds the span (a skipped
-    z/y region between the block's rows) become JUMBO blocks: a second
-    kernel pass gives each of them `jwin` extra sentinel-anchored windows
-    (anchors at evenly spaced sites, so windows track where the block's
-    queries actually land). Query positions are monotone within a block
-    (site keys sorted; y/z clamped to the grid), so coverage is certified
-    by jwin+1 segment conditions per (group, block); `n_overflow` counts
-    (a) jump blocks beyond `jbcap` and (b) violated segments — 0 means
-    EXACTLY no dropped contributions, and bench.py gates on it.
-
-    Pass exact_stats=True (tools/sweeps) for a per-site uncovered-row
-    count (materializes (G, V) positions — tools only).
-    """
+def _plan_ctx(
+    out_coords, out_valid, kernel3, stride3, pad3, in_dims, span, bs,
+    jbcap, jwin, Vin,
+):
+    """Everything make_span_plan computes BEFORE the main bisection.
+    Returns (firsts, lasts_plus_kx, ctx) so several plans over the same
+    input key array can batch their bisections into ONE merged sort
+    (make_span_plans) — the per-plan sort was a measured 8-12 ms of glue
+    per conv level (tools/profile_glue.py)."""
     kx = int(kernel3[0])
     if pad3 is None:
         pad3 = tuple((k - 1) // 2 for k in kernel3)
     groups = _groups_yz(kernel3)
     G = len(groups)
     V = out_coords.shape[0]
-    Vin = x_keys.shape[0]
     NB = -(-V // bs)
     Vp = NB * bs
     if jbcap is None:
@@ -474,8 +467,117 @@ def make_span_plan(
     lasts = block_q(
         jnp.take(ocoords, last_i, axis=0), (nvalid_blk > 0).astype(jnp.int32), -1
     )
+    ctx = dict(
+        kernel3=tuple(kernel3), stride3=tuple(stride3), pad3=tuple(pad3),
+        in_dims=tuple(in_dims), span=span, bs=bs, jbcap=jbcap, jwin=jwin,
+        kx=kx, G=G, NB=NB, Vin=Vin, ocoords=ocoords, ovalid=ovalid,
+        nvalid_blk=nvalid_blk, block_q=block_q, ky=ky, kz=kz,
+    )
+    return firsts, lasts + kx, ctx
+
+
+def make_span_plans(x_keys, requests) -> list:
+    """Batched plan building: every request shares x_keys, so ALL main
+    bisection queries ride ONE merged sort instead of one per plan.
+
+    requests: list of dicts with out_coords, out_valid, kernel3 and the
+    optional make_span_plan keyword arguments."""
+    Vin = x_keys.shape[0]
+    preps = []
+    for r in requests:
+        r = dict(r)
+        preps.append(
+            _plan_ctx(
+                r.pop("out_coords"), r.pop("out_valid"), r.pop("kernel3"),
+                r.pop("stride3", (1, 1, 1)), r.pop("pad3", None),
+                r.pop("in_dims"), r.pop("span", SPAN), r.pop("bs", BS),
+                r.pop("jbcap", None), r.pop("jwin", 4), Vin,
+            )
+        )
+        assert not r, f"unknown plan request keys: {sorted(r)}"
     n_iter = max(1, math.ceil(math.log2(Vin + 1)))
-    pos2 = _bisect(x_keys, jnp.stack([firsts, lasts + kx]), n_iter)
+    q = jnp.concatenate(
+        [jnp.concatenate([f.reshape(-1), l.reshape(-1)]) for f, l, _ in preps]
+    )
+    pos = _bisect(x_keys, q, n_iter)
+    plans = []
+    off = 0
+    for f, l, ctx in preps:
+        n = f.size
+        pos2 = jnp.stack(
+            [
+                pos[off : off + n].reshape(f.shape),
+                pos[off + n : off + 2 * n].reshape(f.shape),
+            ]
+        )
+        off += 2 * n
+        plans.append(_plan_finish(x_keys, pos2, ctx))
+    return plans
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel3", "stride3", "pad3", "in_dims", "span", "bs", "jbcap",
+        "jwin", "exact_stats",
+    ),
+)
+def make_span_plan(
+    x_keys,  # (Vin,) int32 sorted input site keys
+    out_coords,  # (V, 3)
+    out_valid,  # (V,)
+    kernel3,
+    stride3=(1, 1, 1),
+    pad3=None,
+    in_dims=None,
+    span: int = SPAN,
+    bs: int = BS,
+    jbcap: int | None = None,
+    jwin: int = 4,
+    exact_stats: bool = False,
+) -> SpanPlan:
+    """Compute per-(group, block) span starts by bisection over the sorted
+    input keys.
+
+    Main pass: every block's window is HEAD-anchored at its first site's
+    key position. Blocks whose key interval exceeds the span (a skipped
+    z/y region between the block's rows) become JUMBO blocks: a second
+    kernel pass gives each of them `jwin` extra sentinel-anchored windows
+    (anchors at evenly spaced sites, so windows track where the block's
+    queries actually land). Query positions are monotone within a block
+    (site keys sorted; y/z clamped to the grid), so coverage is certified
+    by jwin+1 segment conditions per (group, block); `n_overflow` counts
+    (a) jump blocks beyond `jbcap` and (b) violated segments — 0 means
+    EXACTLY no dropped contributions, and bench.py gates on it.
+
+    Pass exact_stats=True (tools/sweeps) for a per-site uncovered-row
+    count (materializes (G, V) positions — tools only).
+    """
+    firsts, lasts_kx, ctx = _plan_ctx(
+        out_coords, out_valid, kernel3, stride3, pad3, in_dims, span, bs,
+        jbcap, jwin, x_keys.shape[0],
+    )
+    n_iter = max(1, math.ceil(math.log2(x_keys.shape[0] + 1)))
+    pos2 = _bisect(x_keys, jnp.stack([firsts, lasts_kx]), n_iter)
+    return _plan_finish(x_keys, pos2, ctx, exact_stats=exact_stats)
+
+
+def _plan_finish(x_keys, pos2, ctx, exact_stats: bool = False) -> SpanPlan:
+    kernel3, stride3, pad3 = ctx["kernel3"], ctx["stride3"], ctx["pad3"]
+    in_dims, span, bs = ctx["in_dims"], ctx["span"], ctx["bs"]
+    jbcap, jwin, kx, G, NB = (
+        ctx["jbcap"], ctx["jwin"], ctx["kx"], ctx["G"], ctx["NB"]
+    )
+    Vin = ctx["Vin"]
+    ocoords, ovalid = ctx["ocoords"], ctx["ovalid"]
+    nvalid_blk, block_q = ctx["nvalid_blk"], ctx["block_q"]
+    ky, kz = ctx["ky"], ctx["kz"]
+    X, Y, Z = in_dims
+    sx, sy, sz = stride3
+    px, py, pz = pad3
+    BIG = jnp.iinfo(jnp.int32).max
+    n_iter = max(1, math.ceil(math.log2(Vin + 1)))
+
     sb = pos2[0] // 16  # head-anchored, tile units
     send = pos2[1]
     se = -(-send // 16)
@@ -1056,6 +1158,507 @@ def span_conv_parts(
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Packed-window span conv — the small-channel fast path.
+#
+# The wide kernel's per-site cost is G*(kx*span*TCP + kx*TCP*TOP) with TCP =
+# ceil(T*cin/128)*128: at T*cin << 128 (the whole UNet stride-1/2 tier at
+# C=16/32, the MotionNet stem at T*cin = 10) most of every extraction and
+# fold dot multiplies lane PADDING. When kx*(T*cin + ndig + 3) <= 128 the
+# packed kernel instead:
+#
+#   1. packs, per input row s, the kx-tap window [feats[s..s+kx-1] plus
+#      base-128 KEY digits and ROW-INDEX digits of each tap row] into one
+#      128-lane row (keys/rows ride as digits <= 127, exactly representable
+#      in bf16 through the extraction dot),
+#   2. per (block, group) computes ONE lower-bound one-hot
+#      (kspan >= q) & (kprev < q) — site keys are sorted and unique, so it
+#      has exactly one 1 — and extracts the whole window with ONE dot
+#      (bs, span) @ (span, 128): kx times fewer extraction FLOPs,
+#   3. aligns taps by digit-equality selects (tap d of site q = the
+#      extracted row whose key digits equal q+d's; presence gaps fall out
+#      exactly, VPU selects on static lane slices),
+#   4. applies ONE global folded weight (KK = G*kx*T*cin rows, not
+#      G*kx*TCP) per block: G*kx/ceil(KK/128) times fewer fold FLOPs.
+#
+# Coverage/exclusion stay EXACT under the same SpanPlan: extracted rows
+# beyond a window's span are masked by the row-index digits
+# (rowv < window_end), and jumbo windows anchor at rows >= their exclusion
+# bound (kspan masked below it), so every tap row is contributed by exactly
+# the window whose [start, start+span) covers it — the plan's residual-gap
+# certification is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _ndig_for(in_dims) -> int:
+    n_cells = int(np.prod(in_dims))
+    return max(1, math.ceil(math.log2(n_cells + 2) / 7))
+
+
+def packed_layout(kernel3, T, cin, in_dims):
+    """Returns (TD, ndig, lanes) of the packed layout, or None when the
+    kx-tap window does not fit 128 lanes."""
+    kx = int(kernel3[0])
+    ndig = _ndig_for(in_dims)
+    TC = T * cin
+    TD = TC + ndig + 3  # feats + key digits + row-index digits
+    TD8 = -(-TD // 8) * 8
+    if kx * TD8 <= 128:
+        TD = TD8  # 8-aligned lane offsets when they fit
+    elif kx * TD > 128:
+        return None
+    return TD, ndig, 128
+
+
+def _pack_feats(x_keys, feats_tc, kx, TD, TC, ndig, span, dtype):
+    """(Vin, TC) + keys -> (Vin + span + 16, 128) packed rows: row s holds
+    kx tap blocks [feats[s+j], key-digits[s+j], row-digits[s+j]]."""
+    Vin = x_keys.shape[0]
+    tail = kx + span + 16
+    kpad = jnp.concatenate(
+        [x_keys, jnp.full((tail,), KEY_SENTINEL, jnp.int32)]
+    )
+    rows = jnp.arange(Vin + tail, dtype=jnp.int32)
+    cols = [jnp.concatenate([feats_tc.astype(dtype), jnp.zeros((tail, TC), dtype)])]
+    for p in range(ndig):
+        cols.append(((kpad >> (7 * p)) & 127).astype(dtype)[:, None])
+    for p in range(3):
+        cols.append(((rows >> (7 * p)) & 127).astype(dtype)[:, None])
+    f1 = jnp.concatenate(cols, axis=-1)  # (Vin + tail, TC + ndig + 3)
+    if f1.shape[-1] < TD:
+        f1 = jnp.pad(f1, ((0, 0), (0, TD - f1.shape[-1])))
+    n_out = Vin + span + 16
+    fp = jnp.concatenate(
+        [f1[j : j + n_out] for j in range(kx)], axis=-1
+    )  # (n_out, kx*TD)
+    if fp.shape[-1] < 128:
+        fp = jnp.pad(fp, ((0, 0), (0, 128 - fp.shape[-1])))
+    return fp
+
+
+def _packed_extract(
+    kspan, fslot, q, row_ok, xbase, covend, kx, TD, TC, ndig, X_dim, dtype,
+    excl_rows=None,
+):
+    """Shared main/jumbo packed extraction for one (block, group, window):
+    lower-bound one-hot -> one dot -> digit-aligned (bs, kx*TC) taps."""
+    bs = q.shape[0]
+    span = kspan.shape[-1]
+    if excl_rows is not None:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+        kspan = jnp.where(lane + excl_rows >= 0, kspan, -2)
+        # excl_rows = start*16 - excl (<= 0 lanes masked)
+    kprev = jnp.concatenate(
+        [jnp.full((1, 1), -(2**30), jnp.int32), kspan[:, : span - 1]],
+        axis=1,
+    )
+    qs = jnp.where(row_ok, q, -0x7FFFFFF)
+    oh = ((kspan >= qs[:, None]) & (kprev < qs[:, None])).astype(dtype)
+    X = jax.lax.dot_general(
+        oh, fslot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bs, 128)
+
+    out_parts = []
+    covf = covend.astype(jnp.float32)
+    for d in range(kx):
+        ok_d = row_ok & (xbase + d >= 0) & (xbase + d < X_dim)
+        qd = q + d
+        acc = jnp.zeros((bs, TC), jnp.float32)
+        for j in range(kx):
+            base = j * TD
+            m = ok_d
+            for p in range(ndig):
+                dig = ((qd >> (7 * p)) & 127).astype(jnp.float32)
+                m = m & (X[:, base + TC + p] == dig)
+            rowv = (
+                X[:, base + TC + ndig]
+                + 128.0 * X[:, base + TC + ndig + 1]
+                + 16384.0 * X[:, base + TC + ndig + 2]
+            )
+            m = m & (rowv < covf)
+            # Mosaic can't insert a minor dim on i1 vectors ("only supported
+            # for 32-bit types") — widen the mask to f32 first and multiply
+            mf = m.astype(jnp.float32)
+            acc = acc + mf[:, None] * X[:, base : base + TC]
+        out_parts.append(acc)
+    return jnp.concatenate(out_parts, axis=-1)  # (bs, kx*TC)
+
+
+def _packed_kernel(
+    sbse_ref,  # (G, NB) int32 span starts (sign bit = dead block)
+    gp_ref,  # (G, 2)
+    site_ref,  # (1, 8, BS)
+    wg_ref,  # (KKP, TOP) global folded weight
+    keys2_ref,  # ANY
+    fp_ref,  # ANY (Vin + span + 16, 128) packed
+    out_ref,  # (BS, TOP) f32
+    kscr,  # (2, 8, SPAN) int32
+    fscr,  # (2, SPAN, 128)
+    src_scr,  # (BS, KKP) f32
+    sems,
+    *,
+    kx,
+    G,
+    TD,
+    TC,
+    ndig,
+    KKP,
+    span,
+    bs,
+    in_dims,
+    stride3,
+    pad3,
+):
+    b = pl.program_id(0)
+    X_dim, Y, Z = in_dims
+    sx, sy, sz = stride3
+    px, py, pz = pad3
+
+    def copies(gi, slot):
+        r = sbse_ref[gi, b] & 0xFFFF
+        s = pl.multiple_of(r * 16, 16)
+        r8 = pl.multiple_of((r // 8) * 8, 8)
+        ck = pltpu.make_async_copy(
+            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
+        )
+        cf = pltpu.make_async_copy(
+            fp_ref.at[pl.ds(s, span), :], fscr.at[slot], sems.at[slot, 1]
+        )
+        return ck, cf
+
+    live = sbse_ref[0, b] >= 0
+    ox = site_ref[0, 0, :]
+    oy = site_ref[0, 1, :]
+    oz = site_ref[0, 2, :]
+    valid = site_ref[0, 3, :] > 0
+    xbase = ox * sx - px
+
+    # scratch pad lanes beyond KK feed zero weight rows — but inf/nan
+    # garbage times zero is nan, so they must be zeroed explicitly
+    KK = G * kx * TC
+    if KKP > KK:
+        src_scr[:, KK:KKP] = jnp.zeros((bs, KKP - KK), jnp.float32)
+
+    for c in copies(0, 0):
+        c.start()
+    for gi in range(G):
+        slot = gi % 2
+        if gi + 1 < G:
+            for c in copies(gi + 1, 1 - slot):
+                c.start()
+        for c in copies(gi, slot):
+            c.wait()
+        ky_i = gp_ref[gi, 0]
+        kz_i = gp_ref[gi, 1]
+        iy = oy * sy - py + ky_i
+        iz = oz * sz - pz + kz_i
+        row_ok = valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
+        q = (iz * Y + iy) * X_dim + xbase
+        r = sbse_ref[gi, b] & 0xFFFF
+
+        @pl.when(live)
+        def _(gi=gi, slot=slot, row_ok=row_ok, q=q, r=r):
+            subl = jax.lax.broadcasted_iota(jnp.int32, (8, span), 0)
+            kspan = jnp.sum(
+                jnp.where(subl == (r - (r // 8) * 8), kscr[slot], 0),
+                axis=0, keepdims=True,
+            )
+            covend = r * 16 + span
+            src = _packed_extract(
+                kspan, fscr[slot], q, row_ok, xbase, covend, kx, TD, TC,
+                ndig, X_dim, wg_ref.dtype,
+            )
+            src_scr[:, gi * kx * TC : (gi + 1) * kx * TC] = src
+
+    @pl.when(live)
+    def _():
+        out_ref[:] = jax.lax.dot_general(
+            src_scr[:].astype(wg_ref.dtype), wg_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+def _packed_jumbo_kernel(
+    jblk_ref,  # (jbcap,)
+    jst_ref,  # (G*JW, jbcap)
+    jex_ref,  # (G*JW, jbcap)
+    gp_ref,  # (G, 2)
+    site_ref,
+    wg_ref,  # (KKP, TOP)
+    io_ref,  # (BS, TOP) main output (aliased)
+    keys2_ref,
+    fp_ref,
+    out_ref,
+    kscr,
+    fscr,
+    src_scr,  # (BS, KKP) f32 — per-window contributions accumulate here
+    sems,
+    *,
+    kx,
+    G,
+    JW,
+    TD,
+    TC,
+    ndig,
+    KKP,
+    span,
+    bs,
+    in_dims,
+    stride3,
+    pad3,
+):
+    j = pl.program_id(0)
+    X_dim, Y, Z = in_dims
+    sx, sy, sz = stride3
+    px, py, pz = pad3
+
+    seq = [(gi, w) for gi in range(G) for w in range(JW)]
+
+    def copies(it, slot):
+        gi, w = seq[it]
+        r = jst_ref[gi * JW + w, j]
+        s = pl.multiple_of(r * 16, 16)
+        r8 = pl.multiple_of((r // 8) * 8, 8)
+        ck = pltpu.make_async_copy(
+            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
+        )
+        cf = pltpu.make_async_copy(
+            fp_ref.at[pl.ds(s, span), :], fscr.at[slot], sems.at[slot, 1]
+        )
+        return ck, cf
+
+    live = jblk_ref[j] >= 0
+    ox = site_ref[0, 0, :]
+    oy = site_ref[0, 1, :]
+    oz = site_ref[0, 2, :]
+    valid = site_ref[0, 3, :] > 0
+    xbase = ox * sx - px
+
+    KK = G * kx * TC
+    if KKP > KK:
+        src_scr[:, KK:KKP] = jnp.zeros((bs, KKP - KK), jnp.float32)
+
+    for c in copies(0, 0):
+        c.start()
+    for gi in range(G):
+        ky_i = gp_ref[gi, 0]
+        kz_i = gp_ref[gi, 1]
+        iy = oy * sy - py + ky_i
+        iz = oz * sz - pz + kz_i
+        row_ok = valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
+        q = (iz * Y + iy) * X_dim + xbase
+
+        for w in range(JW):
+            it = gi * JW + w
+            slot = it % 2
+            if it + 1 < G * JW:
+                for c in copies(it + 1, 1 - slot):
+                    c.start()
+            for c in copies(it, slot):
+                c.wait()
+            r = jst_ref[gi * JW + w, j]
+            excl = jex_ref[gi * JW + w, j]
+
+            @pl.when(live)
+            def _(gi=gi, w=w, slot=slot, row_ok=row_ok, q=q, r=r, excl=excl):
+                subl = jax.lax.broadcasted_iota(jnp.int32, (8, span), 0)
+                kspan = jnp.sum(
+                    jnp.where(subl == (r - (r // 8) * 8), kscr[slot], 0),
+                    axis=0, keepdims=True,
+                )
+                covend = r * 16 + span
+                src = _packed_extract(
+                    kspan, fscr[slot], q, row_ok, xbase, covend, kx, TD, TC,
+                    ndig, X_dim, wg_ref.dtype,
+                    excl_rows=r * 16 - excl,
+                )
+                lo = gi * kx * TC
+                hi = (gi + 1) * kx * TC
+                if w == 0:
+                    src_scr[:, lo:hi] = src
+                else:
+                    src_scr[:, lo:hi] = src_scr[:, lo:hi] + src
+
+    @pl.when(live)
+    def _():
+        out_ref[:] = io_ref[:] + jax.lax.dot_general(
+            src_scr[:].astype(wg_ref.dtype), wg_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[:] = io_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "kt", "T_out", "t0_off")
+)
+def span_conv_packed(
+    x_keys,  # (Vin,) int32 sorted
+    x_feats,  # (Vin, T*cin), zeros at padding/non-occ
+    weight,  # (kx*G*kt, cin, cout)
+    out_coords,  # (V, 3)
+    out_valid,  # (V,)
+    plan: SpanPlan,
+    T: int,
+    kt: int = 1,
+    T_out: int | None = None,
+    t0_off: int = 0,
+):
+    """Packed-window span conv (see module section above). Exact under the
+    same plan/overflow semantics as span_conv_parts; eligibility via
+    packed_layout. Returns (V, T_out*cout) f32."""
+    if T_out is None:
+        T_out = T
+    kernel3 = plan.kernel3
+    span, bs = plan.span, plan.bs
+    stride3, pad3, in_dims = plan.stride3, plan.pad3, plan.in_dims
+    kx = int(kernel3[0])
+    G = len(_groups_yz(kernel3))
+    cin, cout = weight.shape[1], weight.shape[2]
+    TC = T * cin
+    lay = packed_layout(kernel3, T, cin, in_dims)
+    assert lay is not None, "packed span conv: window does not fit 128 lanes"
+    TD, ndig, _ = lay
+    TO = T_out * cout
+    TOP = -(-TO // 128) * 128
+    KK = G * kx * TC
+    KKP = -(-KK // 128) * 128
+    V = out_coords.shape[0]
+    NB = -(-V // bs)
+    Vp = NB * bs
+    jbcap = plan.jbcap
+    JW = plan.jstart.shape[-1]
+    NBP = NB + jbcap
+
+    dtype = weight.dtype if weight.dtype == jnp.bfloat16 else jnp.float32
+
+    # folded weight rows are (g, d, t, c)-ordered — exactly the packed
+    # src lane order (group-major, tap-major, t-major)
+    wg = fold_weights(
+        weight, kx, G, kt, T, dtype, T_out=T_out, t0_off=t0_off
+    )  # (G, kx*TC, TO)
+    wg = wg.reshape(KK, TO)
+    wg = jnp.pad(wg, ((0, KKP - KK), (0, TOP - TO)))
+
+    def padV(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((Vp - V,) + a.shape[1:], fill, a.dtype)]
+        ) if Vp > V else a
+
+    ocoords = padV(out_coords, 0)
+    ovalid = padV(out_valid.astype(jnp.int32), 0)
+    Vin = x_keys.shape[0]
+    nr16 = Vin // 16 + 17
+    kpad = jnp.concatenate(
+        [x_keys, jnp.full((nr16 * 16 + span - Vin,), KEY_SENTINEL, jnp.int32)]
+    )
+    keys2 = jnp.concatenate(
+        [kpad[j * 16 : j * 16 + nr16 * 16].reshape(nr16, 16) for j in range(span // 16)],
+        axis=1,
+    )
+    fp = _pack_feats(x_keys, x_feats, kx, TD, TC, ndig, span, dtype)
+
+    site_pack = jnp.stack(
+        [
+            ocoords[:, 0].reshape(NB, bs),
+            ocoords[:, 1].reshape(NB, bs),
+            ocoords[:, 2].reshape(NB, bs),
+            ovalid.reshape(NB, bs),
+        ] + [jnp.zeros((NB, bs), jnp.int32)] * 4,
+        axis=1,
+    )  # (NB, 8, bs)
+    dead = ovalid.reshape(NB, bs).sum(axis=1) == 0
+    sbse = jnp.where(dead[None, :], plan.sb | (-0x80000000), plan.sb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, 8, bs), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((KKP, TOP), lambda b, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((bs, TOP), lambda b, *_: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, span), jnp.int32),
+            pltpu.VMEM((2, span, 128), dtype),
+            pltpu.VMEM((bs, KKP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kern = functools.partial(
+        _packed_kernel, kx=kx, G=G, TD=TD, TC=TC, ndig=ndig, KKP=KKP,
+        span=span, bs=bs, in_dims=in_dims, stride3=stride3, pad3=pad3,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NBP * bs, TOP), jnp.float32),
+        interpret=_interpret(),
+    )(sbse, plan.gp, site_pack, wg, keys2, fp)
+
+    if jbcap:
+        jgrid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(jbcap,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, bs),
+                    lambda j, jb, *_: (jnp.clip(jb[j], 0, NB - 1), 0, 0),
+                ),
+                pl.BlockSpec((KKP, TOP), lambda j, *_: (0, 0)),
+                pl.BlockSpec(
+                    (bs, TOP),
+                    lambda j, jb, *_: (jnp.where(jb[j] >= 0, jb[j], NB + j), 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (bs, TOP),
+                lambda j, jb, *_: (jnp.where(jb[j] >= 0, jb[j], NB + j), 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, span), jnp.int32),
+                pltpu.VMEM((2, span, 128), dtype),
+                pltpu.VMEM((bs, KKP), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        jkern = functools.partial(
+            _packed_jumbo_kernel, kx=kx, G=G, JW=JW, TD=TD, TC=TC,
+            ndig=ndig, KKP=KKP, span=span, bs=bs, in_dims=in_dims,
+            stride3=stride3, pad3=pad3,
+        )
+        jstart2 = jnp.moveaxis(plan.jstart, -1, 1).reshape(
+            plan.jstart.shape[0] * JW, jbcap
+        )
+        jexcl2 = jnp.moveaxis(plan.jexcl, -1, 1).reshape(
+            plan.jexcl.shape[0] * JW, jbcap
+        )
+        out = pl.pallas_call(
+            jkern,
+            grid_spec=jgrid,
+            out_shape=jax.ShapeDtypeStruct((NBP * bs, TOP), jnp.float32),
+            input_output_aliases={6: 0},
+            interpret=_interpret(),
+        )(
+            plan.jblk, jstart2, jexcl2, plan.gp,
+            site_pack, wg, out, keys2, fp,
+        )
+    return out[:V, :TO]
 
 
 def span_conv_slab(

@@ -17,10 +17,19 @@ from insmos_tpu.sparse.slab import (
     window_conv,
     window_tables,
 )
+from insmos_tpu.sparse import span_conv
 from insmos_tpu.sparse.span_conv import span_conv_slab
 
 DIMS3 = (16, 12, 10)
 T = 4
+
+
+@pytest.fixture(params=["packed", "wide"])
+def engine_mode(request, monkeypatch):
+    """Run span tests under both kernel paths: the packed-window
+    small-channel path and the wide per-tap path (PACKED_ENABLE off)."""
+    monkeypatch.setattr(span_conv, "PACKED_ENABLE", request.param == "packed")
+    return request.param
 
 
 def _random_slab(rng, n, cap, cin, ext=None):
@@ -42,7 +51,7 @@ def _random_slab(rng, n, cap, cin, ext=None):
     "seed,n,kernel", [(0, 300, (3, 3, 3, 3)), (1, 1200, (3, 3, 3, 1)),
                       (2, 50, (3, 3, 3, 3)), (3, 500, (5, 5, 5, 1))]
 )
-def test_span_subm_matches_window(seed, n, kernel):
+def test_span_subm_matches_window(seed, n, kernel, engine_mode):
     rng = np.random.default_rng(seed)
     cin, cout = 5, 6
     slab = _random_slab(rng, n, 1024, cin)
@@ -61,7 +70,7 @@ def test_span_subm_matches_window(seed, n, kernel):
     )
 
 
-def test_span_strided_matches_window():
+def test_span_strided_matches_window(engine_mode):
     rng = np.random.default_rng(5)
     cin, cout = 5, 6
     slab = _random_slab(rng, 400, 1024, cin)
@@ -87,7 +96,7 @@ def test_span_strided_matches_window():
     )
 
 
-def test_span_edge_sites():
+def test_span_edge_sites(engine_mode):
     """Sites hugging grid edges: x-wrap aliases must not contribute."""
     coords3 = np.array(
         [[0, 0, 0], [15, 0, 0], [0, 11, 9], [15, 11, 9], [0, 5, 5],
@@ -163,7 +172,7 @@ def test_model_span_vs_window_engine():
     )
 
 
-def test_span_dense_strided_narrow_span_jumbo_covers():
+def test_span_dense_strided_narrow_span_jumbo_covers(engine_mode):
     """Dense strided conv: out-block key intervals include skipped
     interleaved rows, overflowing a narrow main span. The jumbo sentinel
     windows must certify coverage (n_overflow == 0) AND the conv must
@@ -172,6 +181,7 @@ def test_span_dense_strided_narrow_span_jumbo_covers():
     rng = np.random.default_rng(9)
     cin, cout = 3, 4
     slab = _random_slab(rng, 2600, 2048, cin)
+    del engine_mode  # both kernel paths must cover the jumbo tail
     kernel = (2, 2, 2, 1)
     w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32)) * 0.2
     dims2 = tuple(-(-d // 2) for d in DIMS3)
@@ -239,6 +249,72 @@ def test_span_jumbo_capacity_overflow_reported():
         jbcap=1, jwin=6,
     )
     assert int(tiny.n_overflow) >= (n_jumbo - 1) * 64
+
+
+def test_packed_t_band_pruned_matches_wide():
+    """Packed path with a 3^4 t-kernel and a TRAILING slot window
+    (t0_off > 0, T_out < T — the t-pruned inference schedule) must match
+    the wide kernel exactly, including the fold's rectangular t-band."""
+    from insmos_tpu.sparse.slab import slice_slots
+    from insmos_tpu.sparse.span_conv import make_span_plan
+
+    rng = np.random.default_rng(33)
+    cin, cout = 4, 5
+    slab = _random_slab(rng, 700, 1024, cin)
+    kernel = (3, 3, 3, 3)
+    w = jnp.asarray(rng.normal(size=(81, cin, cout)).astype(np.float32)) * 0.2
+    out = slice_slots(slab, 2, T - 2)
+    plan = make_span_plan(
+        slab.keys, slab.coords, slab.valid, (3, 3, 3), in_dims=DIMS3,
+        span=64, bs=64, jbcap=32, jwin=3,
+    )
+    outs = {}
+    saved = span_conv.PACKED_ENABLE
+    for mode in ("packed", "wide"):
+        span_conv.PACKED_ENABLE = mode == "packed"
+        try:
+            outs[mode] = np.asarray(
+                plan.conv(slab, w, out, kernel, t0_off=2).feats
+            )
+        finally:
+            span_conv.PACKED_ENABLE = saved
+    np.testing.assert_allclose(
+        outs["packed"], outs["wide"], atol=1e-4, rtol=1e-4
+    )
+
+
+def test_packed_stem_like_kx5():
+    """Stem geometry (5x5x5 kernel, cin=1): packed window fits via the
+    8-aligned tap layout; must match the window oracle."""
+    from insmos_tpu.sparse.span_conv import make_span_plan
+
+    rng = np.random.default_rng(35)
+    cin, cout = 1, 8
+    slab = _random_slab(rng, 900, 1024, cin)
+    kernel = (5, 5, 5, 1)
+    w = jnp.asarray(rng.normal(size=(125, cin, cout)).astype(np.float32)) * 0.2
+    grid = site_grid(slab)
+    tbl = window_tables(
+        grid, DIMS3, slab.coords, slab.valid, kernel[:3], vin=slab.capacity
+    )
+    ref = window_conv(slab, w, tbl, slab, kernel)
+    from insmos_tpu.sparse.span_conv import packed_layout
+
+    assert packed_layout(kernel[:3], T, cin, DIMS3) is not None
+    plan = make_span_plan(
+        slab.keys, slab.coords, slab.valid, kernel[:3], in_dims=DIMS3,
+        span=128, bs=64, jbcap=32, jwin=3,
+    )
+    assert int(plan.n_overflow) == 0
+    saved = span_conv.PACKED_ENABLE
+    span_conv.PACKED_ENABLE = True
+    try:
+        got = plan.conv(slab, w, slab, kernel)
+    finally:
+        span_conv.PACKED_ENABLE = saved
+    np.testing.assert_allclose(
+        np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
+    )
 
 
 def test_conv_with_occ_matches_window_plus_occ():
