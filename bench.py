@@ -96,17 +96,41 @@ def make_window(cfg, seed: int = 0, n_scans: int | None = None):
     }
 
 
-def main():
+def _digest_and_gates(out):
+    import jax.numpy as jnp
+
+    # scalar digest: forces full execution but keeps the host fetch
+    # tiny (block_until_ready under-reports on remote-attached runtimes)
+    digest = (
+        out["point_logits"].sum()
+        + out["boxes"].sum()
+        + out["scores"].sum()
+        + out["box_mask"].sum()
+    )
+    # overflow gate: span proxy == 0 iff no block's key interval
+    # exceeded its fetch span, which implies EXACT window coverage
+    # (span_conv.make_span_plan: non-jump blocks are covered by
+    # construction) — so a 0 here certifies no dropped contributions.
+    ovf = out["overflow"]
+    span_vec = ovf.get("span_overflow", jnp.zeros((1,), jnp.int32))
+    # split counters (VERDICT round-2 weak #3): motion slab site-capacity
+    # overflow is a pure deviation (MinkowskiEngine has no cap) and is
+    # HARD-GATED at 0 below; the voxelizer drop mirrors the reference's
+    # 100k PointToVoxel cap (models/models.py:287) and is only reported.
+    # sum over levels (axis -1); the vmapped run keeps the stream axis so
+    # the gate reports a per-stream MAX, comparable with single-stream
+    motion_drop = jnp.sum(ovf["motion_dropped"], axis=-1)
+    vox_drop = ovf["voxelizer_dropped"]
+    return digest, span_vec, motion_drop, vox_drop
+
+
+def _run_single(cfg, params, state, warm, iters):
+    """Single-stream streaming loop. Returns (scans/s, gates)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from insmos_tpu.nn.model import InsMOSModel
     from insmos_tpu.pipeline import InferencePipeline
-
-    cfg = _bench_cfg()
-    model = InsMOSModel(cfg)
-    params, state = model.init(jax.random.PRNGKey(0))
 
     # Streaming semantics (the deployment mode): the scan window is
     # DEVICE-RESIDENT ring state; each step feeds ONE new scan + a pose
@@ -118,31 +142,10 @@ def main():
 
     def step(buf, scan, n, tf):
         buf, out = pipe._step(pipe.params, pipe.state, buf, scan, n, tf)
-        # scalar digest: forces full execution but keeps the host fetch
-        # tiny (block_until_ready under-reports on remote-attached runtimes)
-        digest = (
-            out["point_logits"].sum()
-            + out["boxes"].sum()
-            + out["scores"].sum()
-            + out["box_mask"].sum()
-        )
-        # overflow gate: span proxy == 0 iff no block's key interval
-        # exceeded its fetch span, which implies EXACT window coverage
-        # (span_conv.make_span_plan: non-jump blocks are covered by
-        # construction) — so a 0 here certifies no dropped contributions.
-        ovf = out["overflow"]
-        span_vec = ovf.get("span_overflow", jnp.zeros((1,), jnp.int32))
-        # split counters (VERDICT round-2 weak #3): motion slab site-capacity
-        # overflow is a pure deviation (MinkowskiEngine has no cap) and is
-        # HARD-GATED at 0 below; the voxelizer drop mirrors the reference's
-        # 100k PointToVoxel cap (models/models.py:287) and is only reported.
-        motion_drop = jnp.sum(ovf["motion_dropped"])
-        vox_drop = jnp.sum(ovf["voxelizer_dropped"])
-        return buf, digest, span_vec, motion_drop, vox_drop
+        return (buf,) + _digest_and_gates(out)
 
     step = jax.jit(step, donate_argnums=(0,))
 
-    warm, iters = 10, 10
     seq = make_window(cfg, seed=0, n_scans=warm + iters)
     # pre-stage uploads: scan arrival is pipelined/overlapped in deployment
     # (stream_sequence issues the next upload before fetching outputs); the
@@ -151,19 +154,12 @@ def main():
     n = jnp.int32(seq["num_points"][0])
     tf = jnp.eye(4, dtype=jnp.float32)  # synthetic world is pre-aligned
 
-    import numpy as np
-
     buf = pipe._buf
-    max_ovf_vec = None
-    max_motion_drop = 0
-    max_vox_drop = 0
+    gates = _GateMax()
     for i in range(warm):
         buf, digest, so, md, vd = step(buf, scans[i], n, tf)
         if i >= 1:  # slot 0 fills gradually; gate once windows are real
-            sov = np.asarray(so)
-            max_ovf_vec = sov if max_ovf_vec is None else np.maximum(max_ovf_vec, sov)
-            max_motion_drop = max(max_motion_drop, int(md))
-            max_vox_drop = max(max_vox_drop, int(vd))
+            gates.update(so, md, vd)
     float(digest)  # fence warm-up (compile + window fill)
 
     t0 = time.perf_counter()
@@ -171,37 +167,149 @@ def main():
         buf, digest, so, md, vd = step(buf, scans[warm + i], n, tf)
     float(digest)  # device executes in order: last digest fences all iters
     dt = time.perf_counter() - t0
-    max_ovf_vec = np.maximum(max_ovf_vec, np.asarray(so))
-    max_motion_drop = max(max_motion_drop, int(md))
-    max_vox_drop = max(max_vox_drop, int(vd))
+    gates.update(so, md, vd)
+    return iters / dt, gates
 
-    scans_per_sec = iters / dt
+
+def _run_streams(cfg, params, state, warm, iters, S):
+    """S sequence streams per chip, vmapped over a slot axis
+    (PodInferencePipeline with slots_per_device=S on the one-chip mesh):
+    the channel widths (8-128) underfill the MXU at one stream, and the
+    slot axis amortizes kernel launches, plan sorts and glue dispatch.
+    Aggregate scans/s/chip = S * steps / time."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from insmos_tpu.pipeline import PodInferencePipeline
+
+    pipe = PodInferencePipeline(cfg, params, state, slots_per_device=S)
+    assert pipe.n_slots == S, "bench expects the single-chip mesh"
+    pipe.reset()
+
+    def step(buf, scan, n, tf, shift, active):
+        def one(params, state, b, sc, nn, t, sh, act):
+            nb, out = pipe._single_step(params, state, b, sc, nn, t, sh)
+            nb = jax.tree.map(
+                lambda a, bb: jnp.where(jnp.reshape(act, (1,) * a.ndim), a, bb),
+                nb, b,
+            )
+            return nb, out
+
+        buf, out = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
+            pipe.params, pipe.state, buf, scan, n, tf, shift, active
+        )
+        return (buf,) + _digest_and_gates(out)
+
+    step = jax.jit(step, donate_argnums=(0,))
+
+    P = cfg.runtime.max_points_per_scan
+    n_steps = warm + iters
+    # one synthetic world per stream
+    seqs = [make_window(cfg, seed=s, n_scans=n_steps) for s in range(S)]
+    scans = [
+        jax.device_put(
+            np.stack([seqs[s]["points"][i] for s in range(S)])
+        )
+        for i in range(n_steps)
+    ]
+    n = jnp.asarray([seqs[s]["num_points"][0] for s in range(S)], jnp.int32)
+    tf = jnp.tile(jnp.eye(4, dtype=jnp.float32), (S, 1, 1))
+    shift = jnp.zeros((S, 3), jnp.int32)
+    active = jnp.ones((S,), bool)
+
+    buf = pipe._buf
+    gates = _GateMax()
+    for i in range(warm):
+        buf, digest, so, md, vd = step(buf, scans[i], n, tf, shift, active)
+        if i >= 1:
+            gates.update(so, md, vd)
+    float(digest)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        buf, digest, so, md, vd = step(
+            buf, scans[warm + i], n, tf, shift, active
+        )
+    float(digest)
+    dt = time.perf_counter() - t0
+    gates.update(so, md, vd)
+    return S * iters / dt, gates
+
+
+class _GateMax:
+    def __init__(self):
+        self.span_vec = None
+        self.motion = 0
+        self.vox = 0
+
+    def update(self, so, md, vd):
+        import numpy as np
+
+        sov = np.asarray(so)
+        if sov.ndim > 1:  # (S, nplans) from the vmapped run
+            sov = sov.max(axis=0)
+        self.span_vec = (
+            sov if self.span_vec is None else np.maximum(self.span_vec, sov)
+        )
+        self.motion = max(self.motion, int(np.max(np.asarray(md))))
+        self.vox = max(self.vox, int(np.max(np.asarray(vd))))
+
+    def check(self):
+        span = int(self.span_vec.sum())
+        # hard gate: a span-tuning regression must fail the bench, not trade
+        # silent accuracy for the headline number (VERDICT round-1 #6)
+        assert span == 0, (
+            f"span overflow {span} rows > 0; per-plan max "
+            f"(motion: stem,t1,t2,t4,t8,d2,d4,d8 then unet): "
+            f"{self.span_vec.tolist()}"
+        )
+        # motion slab capacity overflow is a deviation from MinkowskiEngine
+        # (which has no cap) — hard gate, like the span gate above.
+        # Capacities carry 15-35% headroom (config.py), so this gate is free
+        # in normal operation and catches silent capacity regressions.
+        assert self.motion == 0, (
+            f"motion slab dropped {self.motion} sites > 0 — capacity "
+            f"regression (site_capacities must exceed real union occupancy)"
+        )
+        return span
+
+
+def main():
+    import os
+
+    import jax
+
+    cfg = _bench_cfg()
+    from insmos_tpu.nn.model import InsMOSModel
+
+    model = InsMOSModel(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    warm, iters = 10, 10
+    S = int(os.environ.get("INSMOS_BENCH_STREAMS", "4"))
+
+    single, gates1 = _run_single(cfg, params, state, warm, iters)
+    multi, gates2 = _run_streams(cfg, params, state, warm, iters, S)
+
     baseline = 8.33  # assumed CUDA reference scans/s (see module docstring)
-    # hard gate: a span-tuning regression must fail the bench, not trade
-    # silent accuracy for the headline number (VERDICT round-1 #6)
-    max_span_ovf = int(max_ovf_vec.sum())
-    assert max_span_ovf == 0, (
-        f"span overflow {max_span_ovf} rows > 0; per-plan max "
-        f"(motion: stem,t1,t2,t4,t8,d2,d4,d8 then unet): {max_ovf_vec.tolist()}"
-    )
-    # motion slab capacity overflow is a deviation from MinkowskiEngine
-    # (which has no cap) — hard gate, like the span gate above. Capacities
-    # carry 15-35% headroom (config.py), so this gate is free in normal
-    # operation and catches silent accuracy loss from capacity regressions.
-    assert max_motion_drop == 0, (
-        f"motion slab dropped {max_motion_drop} sites > 0 — capacity "
-        f"regression (site_capacities must exceed real union occupancy)"
-    )
+    span = max(gates1.check(), gates2.check())
+    motion_drop = max(gates1.motion, gates2.motion)
+    vox_drop = max(gates1.vox, gates2.vox)
+    value = max(single, multi)  # headline: best CLI-reachable configuration
     print(
         json.dumps(
             {
                 "metric": "end_to_end_scans_per_sec_per_chip",
-                "value": round(scans_per_sec, 3),
+                "value": round(value, 3),
                 "unit": "scans/s",
-                "vs_baseline": round(scans_per_sec / baseline, 3),
-                "span_overflow": max_span_ovf,
-                "motion_dropped": max_motion_drop,
-                "voxelizer_dropped": max_vox_drop,
+                "vs_baseline": round(value / baseline, 3),
+                "single_stream": round(single, 3),
+                "multi_stream": round(multi, 3),
+                "streams_per_chip": S,
+                "span_overflow": span,
+                "motion_dropped": motion_drop,
+                "voxelizer_dropped": vox_drop,
             }
         )
     )

@@ -46,6 +46,12 @@ def parse_args(argv=None):
         help="stream sequences in lockstep, one per device (pod inference)",
     )
     p.add_argument(
+        "--slots_per_device", type=int, default=1,
+        help="with --pod: sequence streams per chip (vmapped slot axis); "
+        "the model underfills the MXU at one stream, so multiple slots "
+        "raise aggregate scans/s/chip",
+    )
+    p.add_argument(
         "--fixed-frame", action="store_true", dest="fixed_frame",
         help="fixed-odometry framing + incremental stem reuse: scans are "
         "expressed in a fixed-orientation voxel-snapped frame so the "
@@ -57,12 +63,18 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _run_pod(args, cfg, params, state, sequences) -> dict:
+def _run_pod(args, cfg, params, state, sequences, fixed_frame=False) -> dict:
     """Streaming multi-sequence pod inference: sequences round-robin over
-    the device mesh's slots, one scan per sequence per step."""
-    from ..pipeline import PodInferencePipeline
+    the device mesh's slots (slots_per_device streams per chip), one scan
+    per sequence per step. With fixed_frame, scans are re-expressed in the
+    voxel-snapped odometry frame per slot (fixed_frame_transform) so the
+    incremental stem streams across all slots."""
+    from ..pipeline import PodInferencePipeline, fixed_frame_transform
 
-    pipe = PodInferencePipeline(cfg, params, state)
+    pipe = PodInferencePipeline(
+        cfg, params, state,
+        slots_per_device=max(1, int(getattr(args, "slots_per_device", 1))),
+    )
     S = pipe.n_slots
     stats = {"scans": 0, "seconds": 0.0}
     for w0 in range(0, len(sequences), S):
@@ -89,6 +101,8 @@ def _run_pod(args, cfg, params, state, sequences) -> dict:
         pipe.reset()
         t0 = time.perf_counter()
         prev_pose = [None] * len(wave)
+        prev_snap = [None] * len(wave)
+        vox = cfg.data.voxel_size[0]
         for t in range(n_steps):
             scans, tfs, raw_n = [], [], []
             for i in range(S):
@@ -98,17 +112,22 @@ def _run_pod(args, cfg, params, state, sequences) -> dict:
                     raw_n.append(0)
                     continue
                 sc = read_point_cloud(seq_files[i][t])
-                scans.append(sc)
                 raw_n.append(len(sc))
                 poses = seq_poses[i]
                 if poses is None:
                     tfs.append(None)
+                elif fixed_frame:
+                    sc, tf, prev_snap[i] = fixed_frame_transform(
+                        sc, poses[t], prev_snap[i], vox
+                    )
+                    tfs.append(tf)
                 else:
                     base = prev_pose[i] if prev_pose[i] is not None else poses[t]
                     tfs.append(
                         (np.linalg.inv(poses[t]) @ base).astype(np.float32)
                     )
                     prev_pose[i] = poses[t]
+                scans.append(sc)
             out = jax.tree.map(np.asarray, pipe.push_scans(scans, tfs))
             for i in range(len(wave)):
                 if scans[i] is None:
@@ -157,12 +176,9 @@ def run(args) -> dict:
         )
 
     if args.pod:
-        if fixed_frame:
-            raise SystemExit(
-                "--fixed-frame is not yet supported with --pod; run "
-                "single-stream or drop --fixed-frame"
-            )
-        return _run_pod(args, cfg, params, state, list(sequences))
+        return _run_pod(
+            args, cfg, params, state, list(sequences), fixed_frame=fixed_frame
+        )
 
     pipe = InferencePipeline(cfg, params, state)
     stats = {"scans": 0, "seconds": 0.0}

@@ -68,27 +68,40 @@ class PodInferencePipeline:
     inference" — seq 11-21 across chips). Each pod slot owns a
     device-resident ring window exactly like :class:`InferencePipeline`.
 
+    ``slots_per_device`` > 1 runs several sequence streams PER CHIP (vmap
+    over the slot axis): the model's channel widths (8-128) underfill the
+    MXU at one stream, and batching streams amortizes kernel launches,
+    plan-building and BN/glue dispatch across slots — the chip-filling
+    lever for the scans/s/chip metric (measured 2.1x on the span kernel at
+    4 slots, tools/probe_vmap_span.py).
+
     The reference has no multi-sequence path at all (predict_mos.py loops
     sequences serially on one GPU); this is the SPMD extension of the same
     data-parallel scheme used for training (SURVEY.md S2.3).
     """
 
-    def __init__(self, cfg: Config, params, state, mesh=None):
+    def __init__(self, cfg: Config, params, state, mesh=None,
+                 slots_per_device: int = 1):
         from .parallel import make_mesh
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.cfg = cfg
         self.model = InsMOSModel(cfg)
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.n_slots = int(np.prod(self.mesh.devices.shape))
+        self.n_slots = int(np.prod(self.mesh.devices.shape)) * int(
+            slots_per_device
+        )
         self._shard = NamedSharding(self.mesh, P(cfg.runtime.data_axis))
         self._repl = NamedSharding(self.mesh, P())
         self.params = jax.device_put(params, self._repl)
         self.state = jax.device_put(state, self._repl)
         self._buf = None
+        self._incremental = bool(cfg.runtime.incremental_stem)
 
-        def one(params, state, buf, scan, n, tf, active):
-            new_buf, out = self._single_step(params, state, buf, scan, n, tf)
+        def one(params, state, buf, scan, n, tf, shift, active):
+            new_buf, out = self._single_step(
+                params, state, buf, scan, n, tf, shift
+            )
             # inactive slots keep their window untouched
             new_buf = jax.tree.map(
                 lambda a, b: jnp.where(
@@ -99,31 +112,58 @@ class PodInferencePipeline:
             return new_buf, out
 
         self._step_fn = jax.jit(
-            jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0)),
+            jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0, 0)),
             donate_argnums=(2,),
         )
 
-    def _single_step(self, params, state, buf, new_scan, n_new, tf):
-        return InferencePipeline._step(self, params, state, buf, new_scan, n_new, tf)
+    def _single_step(self, params, state, buf, new_scan, n_new, tf, shift):
+        return InferencePipeline._step(
+            self, params, state, buf, new_scan, n_new, tf,
+            shift=shift if self._incremental else None,
+        )
+
+    # _step above runs unbound with self=this pod pipeline; it uses these
+    # InferencePipeline helpers, which are state-free given (cfg, model)
+    def _roll_window(self, *a, **kw):
+        return InferencePipeline._roll_window(self, *a, **kw)
+
+    def _run_model(self, *a, **kw):
+        return InferencePipeline._run_model(self, *a, **kw)
 
     def reset(self):
         cfg = self.cfg
         S = self.n_slots
         W = cfg.model.n_past_steps
         P_ = cfg.runtime.max_points_per_scan
-        self._buf = jax.device_put(
-            {
-                "points": jnp.zeros((S, W, P_, 4), jnp.float32),
-                "num_points": jnp.zeros((S, W), jnp.int32),
-                "scan_mask": jnp.zeros((S, W), bool),
-            },
-            self._shard,
-        )
+        buf = {
+            "points": jnp.zeros((S, W, P_, 4), jnp.float32),
+            "num_points": jnp.zeros((S, W), jnp.int32),
+            "scan_mask": jnp.zeros((S, W), bool),
+        }
+        if self._incremental:
+            from .sparse.tensor import KEY_SENTINEL
+
+            cap = cfg.model.motionnet.site_capacities[0]
+            C = 8  # stem output channels (CustomMinkUNet INIT_DIM)
+            # a fresh (all-sentinel) cache is exact for a fresh window:
+            # every cache query misses -> zero history == empty slots
+            buf["stem_cache"] = {
+                "keys": jnp.full((S, cap), KEY_SENTINEL, jnp.int32),
+                "feats": jnp.zeros((S, cap, W * C), jnp.float32),
+            }
+        self._buf = jax.device_put(buf, self._shard)
 
     def push_scans(self, scans, tfs=None, active=None) -> dict:
         """scans: list of S arrays (N_i, 4) or None for idle slots; tfs:
         list of (4, 4) pose deltas or None. Returns DEVICE outputs batched
-        (S, ...); trim per slot with :meth:`InferencePipeline.fetch`."""
+        (S, ...); trim per slot with :meth:`InferencePipeline.fetch`.
+
+        In the incremental-stem mode every slot's tf must be a pure
+        integer-voxel translation (run sequences through
+        fixed_frame_transform): slots share ONE compiled SPMD step, so the
+        per-slot full-stem recovery fallback of the single-stream pipeline
+        is not available here — incompatible poses raise instead of
+        silently corrupting the cache."""
         if self._buf is None:
             self.reset()
         S = self.n_slots
@@ -133,6 +173,8 @@ class PodInferencePipeline:
         ns = np.zeros((S,), np.int32)
         act = np.zeros((S,), bool)
         tfa = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+        shifts = np.zeros((S, 3), np.int32)
+        vox = self.cfg.data.voxel_size[0]
         for i, sc in enumerate(scans):
             if sc is None:
                 continue
@@ -141,12 +183,28 @@ class PodInferencePipeline:
             ns[i] = len(sc)
             act[i] = True
             if tfs is not None and tfs[i] is not None:
-                tfa[i] = tfs[i]
+                tf = np.asarray(tfs[i], np.float32)
+                if self._incremental:
+                    k = np.round(tf[:3, 3] / vox)
+                    ok = np.allclose(
+                        tf[:3, :3], np.eye(3), atol=1e-5
+                    ) and np.allclose(tf[:3, 3] / vox, k, atol=1e-3)
+                    if not ok:
+                        raise ValueError(
+                            f"slot {i}: tf is not an integer-voxel "
+                            "translation; feed fixed_frame_transform'd "
+                            "scans in the incremental pod mode"
+                        )
+                    tf = np.eye(4, dtype=np.float32)
+                    tf[:3, 3] = (k * vox).astype(np.float32)
+                    shifts[i] = (-k).astype(np.int32)
+                tfa[i] = tf
         self._buf, out = self._step_fn(
             self.params, self.state, self._buf,
             jax.device_put(padded, self._shard),
             jax.device_put(ns, self._shard),
             jax.device_put(tfa, self._shard),
+            jax.device_put(shifts, self._shard),
             jax.device_put(act, self._shard),
         )
         return out

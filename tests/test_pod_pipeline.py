@@ -73,6 +73,84 @@ def test_pod_matches_single():
     assert buf["num_points"][S - 1].sum() < buf["num_points"][1].sum()
 
 
+def test_pod_multislot_incremental_matches_single():
+    """slots_per_device > 1 (multiple sequence streams per chip, the
+    scans/s/chip lever) with the incremental stem: each slot must
+    reproduce the single-stream fixed-frame pipeline exactly, including
+    per-slot integer-voxel window shifts."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from insmos_tpu.pipeline import fixed_frame_transform
+
+    cfg = tiny_config(window=3)
+    cfg = dataclasses.replace(
+        cfg,
+        runtime=dataclasses.replace(
+            cfg.runtime, incremental_stem=True, compute_dtype="float32"
+        ),
+    )
+    model = InsMOSModel(cfg)
+    params, state = model.init(jax.random.PRNGKey(2))
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:1]).reshape(1), (cfg.runtime.data_axis,)
+    )
+    pod = PodInferencePipeline(cfg, params, state, mesh=mesh, slots_per_device=2)
+    assert pod.n_slots == 2
+
+    rng = np.random.default_rng(11)
+    n_steps = 4
+    vox = cfg.data.voxel_size[0]
+    # two sequences with different moving ego translations
+    world = _scan(rng, 4000)
+    seq_poses = []
+    seq_scans = []
+    for s in range(2):
+        poses, scans = [], []
+        for t in range(n_steps):
+            pose = np.eye(4)
+            pose[:3, 3] = np.array([0.4 * t * (s + 1), -0.3 * t, 0.0])
+            poses.append(pose)
+            near = (
+                np.linalg.norm(world[:, :2] - pose[:2, 3][None], axis=1) < 5.0
+            )
+            sc = world[near][:900].copy()
+            sc[:, :3] -= pose[:3, 3][None]
+            scans.append(sc.astype(np.float32))
+        seq_poses.append(poses)
+        seq_scans.append(scans)
+
+    pod.reset()
+    prev_snap = [None, None]
+    pod_outs = None
+    for t in range(n_steps):
+        scans, tfs = [], []
+        for s in range(2):
+            sc, tf, prev_snap[s] = fixed_frame_transform(
+                seq_scans[s][t], seq_poses[s][t], prev_snap[s], vox
+            )
+            scans.append(sc)
+            tfs.append(tf)
+        pod_outs = jax.tree.map(np.asarray, pod.push_scans(scans, tfs))
+
+    for s in range(2):
+        ref = InferencePipeline(cfg, params, state)
+        ref.reset()
+        prev = None
+        for t in range(n_steps):
+            sc, tf, prev = fixed_frame_transform(
+                seq_scans[s][t], seq_poses[s][t], prev, vox
+            )
+            ref_out = jax.tree.map(np.asarray, ref.push_scan(sc, tf))
+        assert ref.n_full_steps == 0
+        np.testing.assert_allclose(
+            pod_outs["point_logits"][s], ref_out["point_logits"],
+            atol=1e-4, rtol=1e-4, err_msg=f"slot {s}",
+        )
+
+
 def test_pod_cli_matches_serial(tmp_path):
     """predict_mos --pod writes the same artifacts as the serial CLI."""
     import os
