@@ -47,9 +47,10 @@ def parse_args(argv=None):
     )
     p.add_argument(
         "--slots_per_device", type=int, default=1,
-        help="with --pod: sequence streams per chip (vmapped slot axis); "
-        "the model underfills the MXU at one stream, so multiple slots "
-        "raise aggregate scans/s/chip",
+        help="with --pod: sequence streams per chip (vmapped slot axis). "
+        "A capacity/serving feature: measured aggregate throughput is "
+        "~0.9x single-stream (per-row gather cost scales with streams; "
+        "PERF.md round-3 findings), but one chip can carry S sequences",
     )
     p.add_argument(
         "--fixed-frame", action="store_true", dest="fixed_frame",

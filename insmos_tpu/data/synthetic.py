@@ -17,14 +17,29 @@ import numpy as np
 from ..constants import LEARNING_MAP_INV
 
 
-def _make_scene(rng: np.random.Generator, n_static: int = 12, n_moving: int = 3):
-    pillars = rng.uniform([-40, -30, -1.5], [40, 30, -1.4], size=(n_static, 3))
+def _make_scene(
+    rng: np.random.Generator,
+    n_static: int = 12,
+    n_moving: int = 3,
+    area: tuple[float, float] = (40.0, 30.0),
+    mover_area: tuple[float, float] = (25.0, 15.0),
+    mover_speed: float = 2.0,
+    mover_dims: tuple[float, float, float] = (4.2, 1.8, 1.6),
+):
+    """``area``/``mover_area`` shrink the scene to fit small crop ranges
+    (closed-loop tests use tiny configs); defaults match the original
+    road-scale scene."""
+    ax, ay = area
+    mx, my = mover_area
+    pillars = rng.uniform([-ax, -ay, -1.5], [ax, ay, -1.4], size=(n_static, 3))
     movers = []
     for _ in range(n_moving):
-        pos = rng.uniform([-25, -15, -1.0], [25, 15, -1.0])
-        vel = rng.uniform([-2.0, -0.5, 0], [2.0, 0.5, 0])
+        pos = rng.uniform([-mx, -my, -1.0], [mx, my, -1.0])
+        vel = rng.uniform(
+            [-mover_speed, -mover_speed / 4, 0], [mover_speed, mover_speed / 4, 0]
+        )
         yaw = float(np.arctan2(vel[1], vel[0]))
-        dims = np.array([4.2, 1.8, 1.6])
+        dims = np.array(mover_dims)
         movers.append((pos, vel, yaw, dims))
     return pillars, movers
 
@@ -37,10 +52,12 @@ def _render_scan(
     t: float,
     n_ground: int = 4000,
     n_per_obj: int = 220,
+    ground_extent: tuple[float, float] = (45.0, 35.0),
 ):
     """Points in the WORLD frame + per-point learning labels {1,2}."""
     pts, labels = [], []
-    g = rng.uniform([-45, -35, -1.73], [45, 35, -1.68], size=(n_ground, 3))
+    gx, gy = ground_extent
+    g = rng.uniform([-gx, -gy, -1.73], [gx, gy, -1.68], size=(n_ground, 3))
     g[:, :2] += ego_xy
     pts.append(g)
     labels.append(np.ones(len(g), dtype=np.int32))
@@ -69,6 +86,13 @@ def write_synthetic_sequence(
     ego_speed: float = 2.0,
     n_ground: int = 4000,
     n_per_obj: int = 220,
+    n_static: int = 12,
+    n_moving: int = 3,
+    area: tuple[float, float] = (40.0, 30.0),
+    mover_area: tuple[float, float] = (25.0, 15.0),
+    mover_speed: float = 2.0,
+    mover_dims: tuple[float, float, float] = (4.2, 1.8, 1.6),
+    ground_extent: tuple[float, float] = (45.0, 35.0),
 ) -> str:
     """Create `<root>/<seq:02d>/...`; returns the sequence directory."""
     rng = np.random.default_rng(seed)
@@ -76,7 +100,10 @@ def write_synthetic_sequence(
     for sub in ("velodyne", "labels", "boundingbox_label"):
         os.makedirs(os.path.join(seq_dir, sub), exist_ok=True)
 
-    pillars, movers = _make_scene(rng)
+    pillars, movers = _make_scene(
+        rng, n_static=n_static, n_moving=n_moving, area=area,
+        mover_area=mover_area, mover_speed=mover_speed, mover_dims=mover_dims,
+    )
 
     # calib: simple axis permutation LiDAR->cam (x,y,z)->(-y,-z,x)
     t_cam_velo = np.array(
@@ -91,7 +118,8 @@ def write_synthetic_sequence(
         t = i * dt
         ego_xy = np.array([ego_speed * t, 0.0])
         world_pts, labels = _render_scan(
-            rng, ego_xy, pillars, movers, t, n_ground=n_ground, n_per_obj=n_per_obj
+            rng, ego_xy, pillars, movers, t, n_ground=n_ground,
+            n_per_obj=n_per_obj, ground_extent=ground_extent,
         )
         # LiDAR frame = world shifted by ego position
         lidar_pts = world_pts.copy()

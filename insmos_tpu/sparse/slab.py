@@ -476,6 +476,113 @@ def _shift_concat(feats_pad, kx, vin):
     )
 
 
+def _gather_src(f3, wstart_g, slotmap_g, kx, TC):
+    """One group's aligned kernel-x windows: (rows, kx*TC)."""
+    win = jnp.take(f3, wstart_g, axis=0)  # (rows, kx*TC)
+    parts = []
+    for d in range(kx):  # kernel x-position d <- window slot slotmap[d]
+        sel = jnp.zeros((win.shape[0], TC), win.dtype)
+        for ws in range(kx):
+            sel = jnp.where(
+                (slotmap_g[d] == ws)[:, None],
+                win[:, ws * TC : (ws + 1) * TC],
+                sel,
+            )
+        parts.append(sel)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _f3_of(feats, kx):
+    feats_pad = jnp.concatenate([feats, jnp.zeros((kx, feats.shape[1]), feats.dtype)])
+    return _shift_concat(feats_pad, kx, feats.shape[0])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _conv_core(feats, wg, wstart, slotmap, kx, TC, chunk):
+    """sum_g gather_src(feats, g) @ wg[g] with a memory-bounded VJP.
+
+    Plain autodiff of the group scan saves every group's (V, kx*TC)
+    gathered window as a backward residual — 95.5 GiB at reference
+    training scale, and even under jax.checkpoint the scan's transpose
+    stacks them per chunk (measured 26.9 GiB vs 15.75 GiB HBM,
+    tools/measure_train_step.py). The custom backward instead RECOMPUTES
+    each group's gather inside its own scan step (transient) and
+    scatter-adds feature cotangents through the window take — residuals
+    are just (feats, wg, tables): O(V*T*C), not O(G*V*kx*T*C).
+    """
+    return _conv_core_fwd(feats, wg, wstart, slotmap, kx, TC, chunk)[0]
+
+
+def _conv_core_fwd(feats, wg, wstart, slotmap, kx, TC, chunk):
+    f3 = _f3_of(feats, kx)
+    V = wstart.shape[1]
+    G = wstart.shape[0]
+    TOC = wg.shape[2]
+
+    def scan_groups(wstart_all, slot_all):
+        acc0 = jnp.zeros((wstart_all.shape[1], TOC), jnp.float32)
+
+        def body(acc, sc):
+            ws_g, sm_g, w_g = sc
+            src = _gather_src(f3, ws_g, sm_g, kx, TC)
+            return acc + jnp.matmul(
+                src, w_g, preferred_element_type=jnp.float32,
+                precision="highest",
+            ), None
+
+        acc, _ = jax.lax.scan(body, acc0, (wstart_all, slot_all, wg))
+        return acc
+
+    if chunk is None or V <= chunk:
+        out = scan_groups(wstart, slotmap)
+    else:
+        assert V % chunk == 0, f"capacity {V} % chunk {chunk}"
+        nc = V // chunk
+        ws = wstart.reshape(G, nc, chunk).transpose(1, 0, 2)
+        sm = slotmap.reshape(G, kx, nc, chunk).transpose(2, 0, 1, 3)
+        out = jax.lax.map(lambda a: scan_groups(*a), (ws, sm)).reshape(V, TOC)
+    return out, (feats, wg, wstart, slotmap)
+
+
+def _conv_core_bwd(kx, TC, chunk, res, g):
+    import numpy as np
+
+    feats, wg, wstart, slotmap = res
+    Vin = feats.shape[0]
+    f3 = _f3_of(feats, kx)
+    g32 = g.astype(jnp.float32)
+
+    def body(dfp, sc):
+        ws_g, sm_g, w_g = sc
+        src = _gather_src(f3, ws_g, sm_g, kx, TC)
+        dw_g = jnp.matmul(
+            src.astype(jnp.float32).T, g32,
+            preferred_element_type=jnp.float32, precision="highest",
+        )
+        dsrc = jnp.matmul(
+            g32, w_g.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32, precision="highest",
+        )
+        # transpose of (window take + slot select): route kernel-x block d
+        # back to feats_pad row wstart + slot(d)
+        for d in range(kx):
+            dsel = dsrc[:, d * TC : (d + 1) * TC]
+            for ws in range(kx):
+                dfp = dfp.at[ws_g + ws].add(
+                    jnp.where((sm_g[d] == ws)[:, None], dsel, 0.0)
+                )
+        return dfp, dw_g
+
+    dfp0 = jnp.zeros((Vin + kx, TC), jnp.float32)
+    dfp, dwg = jax.lax.scan(body, dfp0, (wstart, slotmap, wg))
+    dfeats = dfp[:Vin].astype(feats.dtype)
+    zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return dfeats, dwg.astype(wg.dtype), zero_i(wstart), zero_i(slotmap)
+
+
+_conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
+
+
 def window_conv(
     x: Slab,
     weight,
@@ -486,13 +593,10 @@ def window_conv(
     t0_off: int = 0,
 ) -> Slab:
     """See _window_conv_impl; this wrapper binds the static arguments
-    positionally for jax.checkpoint."""
+    positionally."""
     return _window_conv_impl(x, weight, tables, out, tuple(kernel), chunk, t0_off)
 
 
-@functools.partial(
-    jax.checkpoint, static_argnums=(4, 5, 6), prevent_cse=False
-)
 def _window_conv_impl(
     x: Slab,
     weight,  # (K, Cin, Cout), K enumerated x-fastest / t-slowest
@@ -513,10 +617,11 @@ def _window_conv_impl(
     folded in as a (T, T) band (block-diagonal over t), so the temporal
     offsets of a 3^4 kernel cost no extra passes.
 
-    jax.checkpoint: the per-group (V, kx*T*C) gathered windows would
-    otherwise be SAVED as backward residuals — measured 95.5 GiB at
-    reference training scale (tools/measure_train_step.py, PERF.md) —
-    so backward recomputes the gathers from the (V, T*C) inputs instead.
+    Backward memory is bounded by _conv_core's custom VJP (see its
+    docstring): gathers are recomputed per group in the transpose instead
+    of being saved — 95.5 GiB of residuals (26.9 GiB under plain
+    jax.checkpoint) become O(V*T*C) at reference training scale
+    (tools/measure_train_step.py, PERF.md).
     """
     kx = tables.kx
     kt = kernel[3] if len(kernel) == 4 else 1
@@ -537,50 +642,10 @@ def _window_conv_impl(
         G, kx * TC, Tout * cout
     )
 
-    feats_pad = jnp.concatenate(
-        [x.mask_feats().astype(weight.dtype),
-         jnp.zeros((kx, TC), weight.dtype)]
+    out_feats = _conv_core(
+        x.mask_feats().astype(weight.dtype), wg, tables.wstart,
+        tables.slotmap, kx, TC, chunk,
     )
-    f3 = _shift_concat(feats_pad, kx, x.capacity)
-
-    def run(wstart_g, slotmap_g, acc, w_g):
-        win = jnp.take(f3, wstart_g, axis=0)  # (rows, kx*TC)
-        parts = []
-        for d in range(kx):  # kernel x-position d <- window slot slotmap[d]
-            sel = jnp.zeros((win.shape[0], TC), win.dtype)
-            for ws in range(kx):
-                sel = jnp.where(
-                    (slotmap_g[d] == ws)[:, None],
-                    win[:, ws * TC : (ws + 1) * TC],
-                    sel,
-                )
-            parts.append(sel)
-        src = jnp.concatenate(parts, axis=-1)  # (rows, kx*TC)
-        return acc + jnp.matmul(
-            src, w_g, preferred_element_type=jnp.float32, precision="highest"
-        )
-
-    def scan_groups(wstart_all, slot_all):
-        rows = wstart_all.shape[1]
-        acc0 = jnp.zeros((rows, Tout * cout), jnp.float32)
-
-        def body(acc, scanned):
-            ws, sm, w_g = scanned
-            return run(ws, sm, acc, w_g), None
-
-        acc, _ = jax.lax.scan(body, acc0, (wstart_all, slot_all, wg))
-        return acc
-
-    if chunk is None or V <= chunk:
-        out_feats = scan_groups(tables.wstart, tables.slotmap)
-    else:
-        assert V % chunk == 0, f"capacity {V} % chunk {chunk}"
-        nc = V // chunk
-        ws = tables.wstart.reshape(G, nc, chunk).transpose(1, 0, 2)
-        sm = tables.slotmap.reshape(G, kx, nc, chunk).transpose(2, 0, 1, 3)
-        out_feats = jax.lax.map(
-            lambda a: scan_groups(*a), (ws, sm)
-        ).reshape(V, Tout * cout)
 
     res = out.replace_feats(out_feats)
     return res.replace_feats(res.mask_feats())

@@ -381,3 +381,45 @@ def test_gather_slots_roundtrip():
     # each point's features == its slab slot's features
     fl = np.asarray(slab.feats).reshape(512 * T, C)
     np.testing.assert_allclose(per_point, fl[np.asarray(p2s)], atol=0)
+
+
+@pytest.mark.parametrize("chunk", [None, 512])
+def test_conv_core_custom_vjp_matches_autodiff(chunk):
+    """The memory-bounded custom VJP of the windowed conv core must equal
+    direct autodiff of the same forward (_conv_core_fwd is plain JAX):
+    full-scale training depends on the custom path (PERF.md)."""
+    from insmos_tpu.sparse import slab as slab_mod
+
+    rng = np.random.default_rng(7)
+    _, slab, _, _ = _random_4d(rng, 900, 4096, 2048)
+    kx = 3
+    tbl = window_tables(
+        site_grid(slab), DIMS3, slab.coords, slab.valid, (3, 3, 3),
+        vin=slab.capacity,
+    )
+    cin, cout = 5, 6
+    TC = T * cin
+    G = tbl.wstart.shape[0]
+    feats = jnp.asarray(slab.feats)  # (cap, T*cin), zeros off-occ
+    wg = jnp.asarray(
+        rng.normal(size=(G, kx * TC, T * cout)).astype(np.float32) * 0.1
+    )
+    gcot = jnp.asarray(
+        rng.normal(size=(slab.capacity, T * cout)).astype(np.float32)
+    )
+
+    def loss_custom(f, w):
+        out = slab_mod._conv_core(f, w, tbl.wstart, tbl.slotmap, kx, TC, chunk)
+        return jnp.sum(out * gcot)
+
+    def loss_direct(f, w):
+        out = slab_mod._conv_core_fwd(
+            f, w, tbl.wstart, tbl.slotmap, kx, TC, chunk
+        )[0]
+        return jnp.sum(out * gcot)
+
+    v1, (df1, dw1) = jax.value_and_grad(loss_custom, argnums=(0, 1))(feats, wg)
+    v2, (df2, dw2) = jax.value_and_grad(loss_direct, argnums=(0, 1))(feats, wg)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(df1), np.asarray(df2), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2), atol=1e-4, rtol=1e-4)
