@@ -163,6 +163,75 @@ def fold_weights_parts(weights, parts, kx, G, T_out, dtype, TC_tot, TO_tot):
     return wg4.reshape(G, kx * TC_tot, TO_tot)
 
 
+def _fold_tilemap(parts, kx, T_out, TCP, TOP):
+    """Static (KT, NT) nonzero-128x128-tile map of the folded multi-part
+    weight. The (T_in, T_out) t-band (fold_weights/t_band) zeroes every
+    (input slot, output slot) block with |i - p - t0_off + lo| outside the
+    t-kernel, which at T*cin >= 128 leaves most weight tiles exactly zero —
+    the "t-band inflates high-C fold matmuls by ~T/kt" cost named in
+    PERF.md. The kernels skip zero tiles with 128-aligned sub-dots.
+
+    Returns None when skipping buys less than ~20% of the fold FLOPs
+    (small shapes: one big dot pipelines better on the MXU)."""
+    KT, NT = kx * TCP // 128, TOP // 128
+    if KT * NT <= 1:
+        return None
+    m = np.zeros((KT, NT), bool)
+    for pt in parts:
+        lo = (pt.kt - 1) // 2
+        for d in range(kx):
+            for p in range(T_out):
+                for it in range(pt.kt):
+                    i = p + pt.t0_off + it - lo
+                    if not (0 <= i < pt.T):
+                        continue
+                    r0 = d * TCP + pt.in_off + i * pt.cin
+                    c0 = pt.out_off + p * pt.cout
+                    m[
+                        r0 // 128 : (r0 + pt.cin - 1) // 128 + 1,
+                        c0 // 128 : (c0 + pt.cout - 1) // 128 + 1,
+                    ] = True
+    if m.sum() >= 0.8 * KT * NT:
+        return None
+    return tuple(tuple(bool(v) for v in row) for row in m)
+
+
+def _fold_dot(src_of, w, tilemap, bs, KT_total, TOP):
+    """Banded fold matmul: per output column tile, sum 128-aligned sub-dots
+    over the contiguous runs of nonzero weight tiles. `src_of(k0, k1)`
+    returns src lanes [k0*128, k1*128) (so callers can avoid materializing
+    the full (bs, kx*TCP) concat); `w` is this group's (kx*TCP, TOP) folded
+    weight ref slice."""
+    NT = TOP // 128
+    cols = []
+    for n in range(NT):
+        ks = [k for k in range(KT_total) if tilemap[k][n]]
+        if not ks:
+            cols.append(jnp.zeros((bs, 128), jnp.float32))
+            continue
+        # merge contiguous tile indices into maximal runs (bigger K dots)
+        runs = []
+        r0 = prev = ks[0]
+        for k in ks[1:]:
+            if k == prev + 1:
+                prev = k
+            else:
+                runs.append((r0, prev + 1))
+                r0 = prev = k
+        runs.append((r0, prev + 1))
+        acc = None
+        for k0, k1 in runs:
+            part = jax.lax.dot_general(
+                src_of(k0, k1),
+                w[k0 * 128 : k1 * 128, n * 128 : (n + 1) * 128],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=1)
+
+
 def _kernel(
     # scalar prefetch
     sbse_ref,  # (GP, NB) int32: bits 0..15 span start (16-row tile units),
@@ -190,6 +259,7 @@ def _kernel(
     in_dims,
     stride3,
     pad3,
+    tilemap=None,
 ):
     BS = bs
     SPAN = span
@@ -266,12 +336,37 @@ def _kernel(
                         preferred_element_type=jnp.float32,
                     )
                 )
-            src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
+            if tilemap is None:
+                src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
+                contrib = jax.lax.dot_general(
+                    src, wg_ref[gi], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (BS, TOP)
+            else:
+                TCP_ = fscr.shape[-1]
+                kpd = TCP_ // 128  # 128-lane tiles per extraction part
 
-            contrib = jax.lax.dot_general(
-                src, wg_ref[gi], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (BS, TOP)
+                def src_of(k0, k1):
+                    segs = []
+                    k = k0
+                    while k < k1:  # split runs at tap boundaries
+                        d, off = divmod(k, kpd)
+                        hi = min(k1 - d * kpd, kpd)
+                        segs.append(
+                            parts[d][:, off * 128 : hi * 128].astype(
+                                wg_ref.dtype
+                            )
+                        )
+                        k = d * kpd + hi
+                    return (
+                        segs[0] if len(segs) == 1
+                        else jnp.concatenate(segs, axis=1)
+                    )
+
+                contrib = _fold_dot(
+                    src_of, wg_ref[gi], tilemap, BS, kx * kpd,
+                    wg_ref.shape[-1],
+                )
             if gi == 0:
                 acc_ref[:] = contrib
             else:
@@ -808,6 +903,7 @@ def _jumbo_kernel(
     in_dims,
     stride3,
     pad3,
+    tilemap=None,
 ):
     """Second-pass coverage for jump blocks: JW sentinel-anchored windows
     per (group, block), equality extraction with an absolute-row exclusion
@@ -899,11 +995,20 @@ def _jumbo_kernel(
 
         @pl.when(live)
         def _(gi=gi):
-            src = sacc[:].astype(wg_ref.dtype)
-            contrib = jax.lax.dot_general(
-                src, wg_ref[gi], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if tilemap is None:
+                src = sacc[:].astype(wg_ref.dtype)
+                contrib = jax.lax.dot_general(
+                    src, wg_ref[gi], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                contrib = _fold_dot(
+                    lambda k0, k1: sacc[:, k0 * 128 : k1 * 128].astype(
+                        wg_ref.dtype
+                    ),
+                    wg_ref[gi], tilemap, bs, kx * (TCP // 128),
+                    wg_ref.shape[-1],
+                )
             if gi == 0:
                 if GO == 1:
                     acc_ref[:] = io_ref[:] + contrib
@@ -1094,9 +1199,10 @@ def span_conv_parts(
         ],
     )
 
+    tilemap = _fold_tilemap(parts, kx, T_out, TCP, TOP)
     kern = functools.partial(
         _kernel, kx=kx, G=G, GI=GI, span=span, bs=bs, in_dims=in_dims,
-        stride3=stride3, pad3=pad3,
+        stride3=stride3, pad3=pad3, tilemap=tilemap,
     )
     out = pl.pallas_call(
         kern,
@@ -1137,7 +1243,7 @@ def span_conv_parts(
         )
         jkern = functools.partial(
             _jumbo_kernel, kx=kx, G=G, GI=GI, JW=JW, span=span, bs=bs,
-            in_dims=in_dims, stride3=stride3, pad3=pad3,
+            in_dims=in_dims, stride3=stride3, pad3=pad3, tilemap=tilemap,
         )
         # (GP, jbcap, JW) -> (GP*JW, jbcap): SMEM operands are lane-padded
         # on the minor dim to 128, so JW must not be minor
