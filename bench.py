@@ -6,19 +6,47 @@ Metric: scans/sec/chip for the full InsMOS pipeline at reference scale —
 detection + NMS + instance fusion + devoxelize, one scan's outputs per
 forward (streaming semantics).
 
+Input distribution: the HDL-64E raycast fixture (insmos_tpu/data/hdl64.py)
+— the SAME distribution the engine's capacities and span plans are
+certified against (tests/test_hdl64_fixture.py), streamed with a moving
+ego through `fixed_frame_transform` exactly like `predict_mos
+--fixed-frame` (so the benched mode is the CLI-reachable deployment mode,
+nonzero integer-voxel shifts included).
+
 Baseline: the reference repo publishes no throughput number (BASELINE.md).
 The published InsMOS paper reports on the order of 120 ms per 10-scan
 inference on an RTX 3090 — we use 8.33 scans/s as the CUDA-baseline
 denominator for `vs_baseline`, and record the assumption here so the judge
 can re-normalize. The driver's north-star target is vs_baseline >= 5.
 
-Prints exactly one JSON line.
+Artifact discipline (VERDICT round-3 weak #1): the single-stream headline
+is measured FIRST and its JSON line is printed (and flushed) IMMEDIATELY —
+optional extras (multi-stream serving throughput) run only afterwards,
+behind an env flag that defaults OFF, and emit a separate line. A timeout
+in an extra can no longer destroy the round's artifact.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+
+def _setup_compile_cache():
+    """Persistent XLA compilation cache: the full-scale model compiles in
+    5-10 min (PERF.md); caching makes reruns (and a driver re-invocation
+    after an external timeout) start measuring in seconds."""
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/insmos_jax_cache"
+    )
+    os.makedirs(cache, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def _bench_cfg():
@@ -49,6 +77,9 @@ def make_window(cfg, seed: int = 0, n_scans: int | None = None):
     objects. Real aligned windows share most static voxels across scans —
     the pipeline's site-union capacities are sized for that regime (and
     overflow is counted, never silent).
+
+    Kept for the profiling tools under tools/; the bench itself streams
+    the certified HDL-64E raycast fixture (make_stream below).
     """
     import numpy as np
 
@@ -96,6 +127,49 @@ def make_window(cfg, seed: int = 0, n_scans: int | None = None):
     }
 
 
+def make_stream(cfg, n_steps: int, seed: int = 0):
+    """Streaming HDL-64E raycast sequence, host-processed through
+    fixed_frame_transform exactly like `predict_mos --fixed-frame`
+    (pipeline.stream_sequence): a moving ego (~11 m/s) raycasts the
+    certified fixture's world, each scan is re-expressed in the fixed
+    voxel-snapped odometry frame, and the per-step transform reduces to an
+    integer-voxel translation (tf_snap) + cache shift.
+
+    Returns (scans (list of (P,4) f32), ns, tfs (4,4), shifts (3,) int32).
+    """
+    import numpy as np
+
+    from insmos_tpu.data.hdl64 import _make_world, raycast_scan
+    from insmos_tpu.pipeline import fixed_frame_transform
+
+    rng = np.random.default_rng(seed)
+    world = _make_world(rng)
+    ego_speed = np.array([1.1, 0.05])  # m per scan step (~11 m/s at 10 Hz)
+    P = cfg.runtime.max_points_per_scan
+    vox = cfg.data.voxel_size[0]
+    prev_snap = None
+    scans, ns, tfs, shifts = [], [], [], []
+    for w in range(n_steps):
+        ego = ego_speed * w
+        scan, _ = raycast_scan(world, ego, w, rng)
+        pose = np.eye(4, dtype=np.float64)
+        pose[:2, 3] = ego  # fixed-orientation odometry pose
+        scan_f, tf, prev_snap = fixed_frame_transform(
+            scan.astype(np.float32), pose, prev_snap, vox
+        )
+        k = np.round(tf[:3, 3] / vox)
+        tf_snap = np.eye(4, dtype=np.float32)
+        tf_snap[:3, 3] = (k * vox).astype(np.float32)
+        n = min(len(scan_f), P)
+        pad = np.zeros((P, 4), np.float32)
+        pad[:n] = scan_f[rng.permutation(len(scan_f))[:n]]
+        scans.append(pad)
+        ns.append(np.int32(n))
+        tfs.append(tf_snap)
+        shifts.append((-k).astype(np.int32))
+    return scans, ns, tfs, shifts
+
+
 def _digest_and_gates(out):
     import jax.numpy as jnp
 
@@ -128,43 +202,44 @@ def _run_single(cfg, params, state, warm, iters):
     """Single-stream streaming loop. Returns (scans/s, gates)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from insmos_tpu.pipeline import InferencePipeline
 
     # Streaming semantics (the deployment mode): the scan window is
     # DEVICE-RESIDENT ring state; each step feeds ONE new scan + a pose
-    # delta and produces that scan's full outputs (pipeline.py). The
-    # reference re-uploads and re-aligns all 10 scans per scan instead
-    # (scripts/predict_mos.py:132-139).
+    # delta + cache shift and produces that scan's full outputs
+    # (pipeline.py). The reference re-uploads and re-aligns all 10 scans
+    # per scan instead (scripts/predict_mos.py:132-139).
     pipe = InferencePipeline(cfg, params, state)
     pipe.reset()
 
-    def step(buf, scan, n, tf):
-        buf, out = pipe._step(pipe.params, pipe.state, buf, scan, n, tf)
+    def step(buf, scan, n, tf, shift):
+        buf, out = pipe._step(pipe.params, pipe.state, buf, scan, n, tf, shift)
         return (buf,) + _digest_and_gates(out)
 
     step = jax.jit(step, donate_argnums=(0,))
 
-    seq = make_window(cfg, seed=0, n_scans=warm + iters)
+    n_steps = warm + iters
+    scans, ns, tfs, shifts = make_stream(cfg, n_steps, seed=0)
     # pre-stage uploads: scan arrival is pipelined/overlapped in deployment
     # (stream_sequence issues the next upload before fetching outputs); the
     # relay link's 20-50 MB/s is a harness artifact, not TPU hardware
-    scans = [jax.device_put(seq["points"][i]) for i in range(warm + iters)]
-    n = jnp.int32(seq["num_points"][0])
-    tf = jnp.eye(4, dtype=jnp.float32)  # synthetic world is pre-aligned
+    scans = [jax.device_put(s) for s in scans]
+    tfs = [jax.device_put(t) for t in tfs]
+    shifts = [jax.device_put(s) for s in shifts]
 
     buf = pipe._buf
     gates = _GateMax()
     for i in range(warm):
-        buf, digest, so, md, vd = step(buf, scans[i], n, tf)
+        buf, digest, so, md, vd = step(buf, scans[i], ns[i], tfs[i], shifts[i])
         if i >= 1:  # slot 0 fills gradually; gate once windows are real
             gates.update(so, md, vd)
     float(digest)  # fence warm-up (compile + window fill)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        buf, digest, so, md, vd = step(buf, scans[warm + i], n, tf)
+        j = warm + i
+        buf, digest, so, md, vd = step(buf, scans[j], ns[j], tfs[j], shifts[j])
     float(digest)  # device executes in order: last digest fences all iters
     dt = time.perf_counter() - t0
     gates.update(so, md, vd)
@@ -173,10 +248,10 @@ def _run_single(cfg, params, state, warm, iters):
 
 def _run_streams(cfg, params, state, warm, iters, S):
     """S sequence streams per chip, vmapped over a slot axis
-    (PodInferencePipeline with slots_per_device=S on the one-chip mesh):
-    the channel widths (8-128) underfill the MXU at one stream, and the
-    slot axis amortizes kernel launches, plan sorts and glue dispatch.
-    Aggregate scans/s/chip = S * steps / time."""
+    (PodInferencePipeline with slots_per_device=S on the one-chip mesh).
+    Measured a NON-lever for the headline (~0.9x single-stream aggregate,
+    PERF.md round-3) — kept as the serving-capacity mode, run only when
+    INSMOS_BENCH_STREAMS > 0. Aggregate scans/s/chip = S * steps / time."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -203,33 +278,42 @@ def _run_streams(cfg, params, state, warm, iters, S):
 
     step = jax.jit(step, donate_argnums=(0,))
 
-    P = cfg.runtime.max_points_per_scan
     n_steps = warm + iters
-    # one synthetic world per stream
-    seqs = [make_window(cfg, seed=s, n_scans=n_steps) for s in range(S)]
+    # one raycast world per stream
+    streams = [make_stream(cfg, n_steps, seed=s) for s in range(S)]
     scans = [
-        jax.device_put(
-            np.stack([seqs[s]["points"][i] for s in range(S)])
-        )
+        jax.device_put(np.stack([streams[s][0][i] for s in range(S)]))
         for i in range(n_steps)
     ]
-    n = jnp.asarray([seqs[s]["num_points"][0] for s in range(S)], jnp.int32)
-    tf = jnp.tile(jnp.eye(4, dtype=jnp.float32), (S, 1, 1))
-    shift = jnp.zeros((S, 3), jnp.int32)
+    ns = [
+        jnp.asarray([streams[s][1][i] for s in range(S)], jnp.int32)
+        for i in range(n_steps)
+    ]
+    tfs = [
+        jax.device_put(np.stack([streams[s][2][i] for s in range(S)]))
+        for i in range(n_steps)
+    ]
+    shifts = [
+        jax.device_put(np.stack([streams[s][3][i] for s in range(S)]))
+        for i in range(n_steps)
+    ]
     active = jnp.ones((S,), bool)
 
     buf = pipe._buf
     gates = _GateMax()
     for i in range(warm):
-        buf, digest, so, md, vd = step(buf, scans[i], n, tf, shift, active)
+        buf, digest, so, md, vd = step(
+            buf, scans[i], ns[i], tfs[i], shifts[i], active
+        )
         if i >= 1:
             gates.update(so, md, vd)
     float(digest)
 
     t0 = time.perf_counter()
     for i in range(iters):
+        j = warm + i
         buf, digest, so, md, vd = step(
-            buf, scans[warm + i], n, tf, shift, active
+            buf, scans[j], ns[j], tfs[j], shifts[j], active
         )
     float(digest)
     dt = time.perf_counter() - t0
@@ -276,8 +360,7 @@ class _GateMax:
 
 
 def main():
-    import os
-
+    _setup_compile_cache()
     import jax
 
     cfg = _bench_cfg()
@@ -287,48 +370,48 @@ def main():
     params, state = model.init(jax.random.PRNGKey(0))
 
     warm, iters = 10, 10
-    S = int(os.environ.get("INSMOS_BENCH_STREAMS", "4"))
-
-    single, gates1 = _run_single(cfg, params, state, warm, iters)
-
-    # Multi-stream is a capacity feature, not the headline (measured ~1.1x
-    # per-stream cost under vmap — PERF.md round-3 findings): never let its
-    # extra compile/HBM cost the whole bench artifact. S=0 skips it.
-    multi = None
-    gates2 = None
-    if S > 0:
-        try:
-            multi, gates2 = _run_streams(cfg, params, state, warm, iters, S)
-        except Exception as e:  # noqa: BLE001 — report, don't die
-            import sys
-
-            print(f"multi-stream bench failed: {e!r}", file=sys.stderr)
-
     baseline = 8.33  # assumed CUDA reference scans/s (see module docstring)
+
+    # ---- headline: single stream, measured and PRINTED first ------------
+    single, gates1 = _run_single(cfg, params, state, warm, iters)
     span = gates1.check()
-    motion_drop, vox_drop = gates1.motion, gates1.vox
-    value = single
-    if multi is not None:
-        span = max(span, gates2.check())
-        motion_drop = max(motion_drop, gates2.motion)
-        vox_drop = max(vox_drop, gates2.vox)
-        value = max(single, multi)  # headline: best CLI-reachable config
     print(
         json.dumps(
             {
                 "metric": "end_to_end_scans_per_sec_per_chip",
-                "value": round(value, 3),
+                "value": round(single, 3),
                 "unit": "scans/s",
-                "vs_baseline": round(value / baseline, 3),
-                "single_stream": round(single, 3),
-                "multi_stream": round(multi, 3) if multi is not None else None,
-                "streams_per_chip": S,
+                "vs_baseline": round(single / baseline, 3),
                 "span_overflow": span,
-                "motion_dropped": motion_drop,
-                "voxelizer_dropped": vox_drop,
+                "motion_dropped": gates1.motion,
+                "voxelizer_dropped": gates1.vox,
             }
-        )
+        ),
+        flush=True,
     )
+
+    # ---- optional extras: never allowed to cost the artifact above ------
+    S = int(os.environ.get("INSMOS_BENCH_STREAMS", "0"))
+    if S > 0:
+        try:
+            multi, gates2 = _run_streams(cfg, params, state, warm, iters, S)
+            print(
+                json.dumps(
+                    {
+                        "metric": "multi_stream_scans_per_sec_per_chip",
+                        "value": round(multi, 3),
+                        "unit": "scans/s",
+                        "vs_baseline": round(multi / baseline, 3),
+                        "streams_per_chip": S,
+                        "span_overflow": gates2.check(),
+                        "motion_dropped": gates2.motion,
+                        "voxelizer_dropped": gates2.vox,
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            print(f"multi-stream bench failed: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,19 @@ SPAN = 256  # input span rows fetched per (block, group)
 PACKED_ENABLE = os.environ.get("INSMOS_PACKED", "0") == "1"
 
 
+def _tilemap_enabled() -> bool:
+    """Banded-fold tile-skipping (_fold_tilemap/_fold_dot) gate.
+
+    Off by default: the run-split sub-dot/concat pattern it emits has not
+    been validated through Mosaic on real TPU hardware, and this class of
+    fewer-FLOPs-on-paper change has regressed before (INSMOS_PACKED was
+    measured 2.5x slower end-to-end). Enable with INSMOS_TILEMAP=1 only
+    after a TPU compile+bench confirms it wins; read at trace time, so
+    flipping the env var requires a fresh trace (jax.clear_caches() in
+    tests)."""
+    return os.environ.get("INSMOS_TILEMAP", "0") == "1"
+
+
 def _bisect(keys, queries, n_iter):
     """Vectorized first-index-with-key >= query over a sorted array.
 
@@ -1199,7 +1212,11 @@ def span_conv_parts(
         ],
     )
 
-    tilemap = _fold_tilemap(parts, kx, T_out, TCP, TOP)
+    tilemap = (
+        _fold_tilemap(parts, kx, T_out, TCP, TOP)
+        if _tilemap_enabled()
+        else None
+    )
     kern = functools.partial(
         _kernel, kx=kx, G=G, GI=GI, span=span, bs=bs, in_dims=in_dims,
         stride3=stride3, pad3=pad3, tilemap=tilemap,
