@@ -53,6 +53,12 @@ def parse_args(argv=None):
         "PERF.md round-3 findings), but one chip can carry S sequences",
     )
     p.add_argument(
+        "--allow-default", action="store_true", dest="allow_default",
+        help="permit a ckpt-less, cfg-less run (random weights at the "
+        "full-scale default Config — rarely what you want; guards "
+        "against accidentally launching a 100+ GB random-weights run)",
+    )
+    p.add_argument(
         "--fixed-frame", action="store_true", dest="fixed_frame",
         help="fixed-odometry framing + incremental stem reuse: scans are "
         "expressed in a fixed-orientation voxel-snapped frame so the "
@@ -160,6 +166,12 @@ def run(args) -> dict:
     else:
         import jax
 
+        if not args.cfg_file and not getattr(args, "allow_default", False):
+            raise SystemExit(
+                "predict_mos: no --ckpt and no --cfg_file — this would run "
+                "RANDOM weights at the full-scale default config. Pass "
+                "--cfg_file (or --ckpt), or force with --allow-default."
+            )
         cfg = Config.from_yaml(args.cfg_file) if args.cfg_file else Config()
         params, state = InsMOSModel(cfg).init(jax.random.PRNGKey(args.seed))
 

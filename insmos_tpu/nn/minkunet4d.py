@@ -158,7 +158,7 @@ def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
     if span:
         ntbl = make_span_plan(
             nslab.keys, nslab.coords, nslab.valid, _K3_STEM, in_dims=dims1,
-            span=256, jbcap=64, jwin=3,
+            span=256, slots=8192, gwin=48, pairs=4096,
         )
         stats["span_overflow"].append(ntbl.n_overflow)
     else:
@@ -280,13 +280,13 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                 dict(
                     out_coords=s_in.coords, out_valid=s_in.valid,
                     kernel3=_K3_BLOCK, in_dims=dims[fin], bs=128, span=256,
-                    jbcap=128 if fin == 4 else 48, jwin=2,
+                    slots=8192, gwin=48, pairs=4096,
                 ),
                 dict(
                     out_coords=nxt.coords, out_valid=nxt.valid,
                     kernel3=_K3_DOWN, stride3=_S2, pad3=_P0,
                     in_dims=dims[fin], bs=128, span=256,
-                    jbcap=256 if fout == 8 else 96, jwin=3,
+                    slots=8192, gwin=48, pairs=4096,
                 ),
             ]
             if fin == 1 and stem_cache is None:
@@ -296,7 +296,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                     dict(
                         out_coords=s_in.coords, out_valid=s_in.valid,
                         kernel3=_K3_STEM, in_dims=dims[fin], span=256,
-                        jbcap=128, jwin=3,
+                        slots=16384, gwin=64, pairs=8192,
                     )
                 )
             plans = make_span_plans(s_in.keys, reqs)
@@ -324,7 +324,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
     tables[8] = (
         make_span_plan(
             s8.keys, s8.coords, s8.valid, _K3_BLOCK, in_dims=dims[8],
-            bs=128, span=384, jbcap=64, jwin=2,  # L8 rows are near x-dense
+            bs=128, span=384, slots=8192, gwin=48, pairs=4096,
         )
         if span
         else window_tables(

@@ -192,14 +192,14 @@ def unet3d_forward(
                     dict(
                         out_coords=s_in.coords, out_valid=s_in.valid,
                         kernel3=_K3, in_dims=dims[fin], bs=128, span=256,
-                        jbcap=96 if fin == 4 else 48, jwin=2,
+                        slots=4096, gwin=48, pairs=2048,
                     ),
                     dict(
                         out_coords=nxt.coords, out_valid=nxt.valid,
                         kernel3=_K3, stride3=_S2, pad3=_P1,
                         in_dims=dims[fin], bs=128,
                         span=384 if stride == 8 else 256,
-                        jbcap=112 if stride == 8 else 80, jwin=3,
+                        slots=4096, gwin=48, pairs=2048,
                     ),
                 ],
             )
@@ -227,12 +227,12 @@ def unet3d_forward(
             [
                 dict(
                     out_coords=s8.coords, out_valid=s8.valid, kernel3=_K3,
-                    in_dims=dims[8], bs=128, span=384, jbcap=64, jwin=2,
+                    in_dims=dims[8], bs=128, span=384, slots=4096, gwin=48, pairs=2048,
                 ),
                 dict(
                     out_coords=sites_out.coords, out_valid=sites_out.valid,
                     kernel3=_KZ, stride3=_SZ, pad3=_PZ, in_dims=dims[8],
-                    bs=128, span=384, jbcap=48, jwin=3,
+                    bs=128, span=384, slots=2048, gwin=48, pairs=1024,
                 ),
             ],
         )

@@ -56,9 +56,6 @@ SPAN = 256  # input span rows fetched per (block, group)
 # 2.5× SLOWER end-to-end at full scale on real TPU (0.671 vs 1.665 scans/s,
 # 2026-08-19) — the per-row packing scatter + narrow-lane DMA pattern costs
 # more than the extraction dots it saves. Kept opt-in for future tuning.
-PACKED_ENABLE = os.environ.get("INSMOS_PACKED", "0") == "1"
-
-
 def _tilemap_enabled() -> bool:
     """Banded-fold tile-skipping (_fold_tilemap/_fold_dot) gate.
 
@@ -417,43 +414,34 @@ class SpanPlan:
     se: jax.Array  # (G, NB) int32 span ends (16-row tile units, ceil)
     gp: jax.Array  # (G, 2) int32 (ky_i, kz_i)
     n_overflow: jax.Array  # () int32 coverage-gate counter (0 == exact)
-    jblk: jax.Array  # (jbcap,) int32 jumbo block indices, -1 padding
-    jstart: jax.Array  # (G, jbcap, jwin) int32 jumbo window starts (tiles)
-    jexcl: jax.Array  # (G, jbcap, jwin) int32 exclusion lower bounds (rows)
+    gs: jax.Array  # (4, JS) int32 greedy coverage slots, rows = (group,
+    # block [-1 = dead slot], span-start tile, exclusion row); sorted by
+    # (block, group) so output-block revisits in the slot kernel are
+    # consecutive, dead slots last
     kernel3: tuple = dataclasses.field(metadata={"static": True})
     stride3: tuple = dataclasses.field(metadata={"static": True})
     pad3: tuple = dataclasses.field(metadata={"static": True})
     in_dims: tuple = dataclasses.field(metadata={"static": True})
     span: int = dataclasses.field(default=SPAN, metadata={"static": True})
     bs: int = dataclasses.field(default=BS, metadata={"static": True})
-    jbcap: int = dataclasses.field(default=0, metadata={"static": True})
-    jwin: int = dataclasses.field(default=4, metadata={"static": True})
+    js: int = dataclasses.field(default=0, metadata={"static": True})
+    gwin: int = dataclasses.field(default=12, metadata={"static": True})
+    jp: int = dataclasses.field(default=0, metadata={"static": True})
 
     def conv(self, x: Slab, weight, out: Slab, kernel, chunk=None,
              t0_off: int = 0) -> Slab:
-        """window_conv-compatible entry (chunk ignored). Dispatches to the
-        packed-window kernel when the kx-tap window fits 128 lanes (the
-        small-channel fast path: kx times fewer extraction FLOPs)."""
+        """window_conv-compatible entry (chunk ignored).
+
+        (A packed-window small-channel kernel variant was built and
+        measured 2.5x SLOWER end-to-end — per-row packing scatter +
+        narrow-lane DMA cost more than the saved extraction dots; see
+        PERF.md round-3 findings. Removed; the wide per-tap kernel is the
+        one production path.)"""
         kt = kernel[3] if len(kernel) == 4 else 1
-        cin = weight.shape[1]
-        # span % 128: Mosaic requires the keys-DMA lane slice (8, span) to
-        # be 128-lane aligned on hardware (keys2 lives 128-lane tiled in
-        # VMEM); production plans use span=256. Interpret mode (CPU tests)
-        # has no such constraint.
-        if PACKED_ENABLE and (
-            self.span % 128 == 0 or _interpret()
-        ) and packed_layout(
-            self.kernel3, x.T, cin, self.in_dims
-        ) is not None:
-            feats = span_conv_packed(
-                x.keys, x.mask_feats(), weight, out.coords, out.valid,
-                self, x.T, kt, out.T, t0_off,
-            )
-        else:
-            feats = span_conv_apply(
-                x.keys, x.mask_feats(), out.coords, out.valid, weight,
-                self, x.T, kt, out.T, t0_off,
-            )
+        feats = span_conv_apply(
+            x.keys, x.mask_feats(), out.coords, out.valid, weight,
+            self, x.T, kt, out.T, t0_off,
+        )
         res = out.replace_feats(feats)
         return res.replace_feats(res.mask_feats())
 
@@ -516,7 +504,7 @@ class SpanPlan:
 
 def _plan_ctx(
     out_coords, out_valid, kernel3, stride3, pad3, in_dims, span, bs,
-    jbcap, jwin, Vin,
+    slots, gwin, pairs, Vin,
 ):
     """Everything make_span_plan computes BEFORE the main bisection.
     Returns (firsts, lasts_plus_kx, ctx) so several plans over the same
@@ -531,8 +519,10 @@ def _plan_ctx(
     V = out_coords.shape[0]
     NB = -(-V // bs)
     Vp = NB * bs
-    if jbcap is None:
-        jbcap = 0 if NB < 4 else min(128, max(16, -(-NB // 16)))
+    if slots is None:
+        slots = 0 if NB < 4 else min(4096, max(128, NB))
+    if pairs is None:
+        pairs = slots
 
     def padV(a, fill):
         return jnp.concatenate(
@@ -577,7 +567,8 @@ def _plan_ctx(
     )
     ctx = dict(
         kernel3=tuple(kernel3), stride3=tuple(stride3), pad3=tuple(pad3),
-        in_dims=tuple(in_dims), span=span, bs=bs, jbcap=jbcap, jwin=jwin,
+        in_dims=tuple(in_dims), span=span, bs=bs, js=slots, gwin=gwin,
+        jp=pairs,
         kx=kx, G=G, NB=NB, Vin=Vin, ocoords=ocoords, ovalid=ovalid,
         nvalid_blk=nvalid_blk, block_q=block_q, ky=ky, kz=kz,
     )
@@ -599,7 +590,8 @@ def make_span_plans(x_keys, requests) -> list:
                 r.pop("out_coords"), r.pop("out_valid"), r.pop("kernel3"),
                 r.pop("stride3", (1, 1, 1)), r.pop("pad3", None),
                 r.pop("in_dims"), r.pop("span", SPAN), r.pop("bs", BS),
-                r.pop("jbcap", None), r.pop("jwin", 4), Vin,
+                r.pop("slots", None), r.pop("gwin", 12),
+                r.pop("pairs", None), Vin,
             )
         )
         assert not r, f"unknown plan request keys: {sorted(r)}"
@@ -626,8 +618,8 @@ def make_span_plans(x_keys, requests) -> list:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "kernel3", "stride3", "pad3", "in_dims", "span", "bs", "jbcap",
-        "jwin", "exact_stats",
+        "kernel3", "stride3", "pad3", "in_dims", "span", "bs", "slots",
+        "gwin", "pairs", "exact_stats",
     ),
 )
 def make_span_plan(
@@ -640,30 +632,39 @@ def make_span_plan(
     in_dims=None,
     span: int = SPAN,
     bs: int = BS,
-    jbcap: int | None = None,
-    jwin: int = 4,
+    slots: int | None = None,
+    gwin: int = 12,
+    pairs: int | None = None,
     exact_stats: bool = False,
 ) -> SpanPlan:
     """Compute per-(group, block) span starts by bisection over the sorted
     input keys.
 
     Main pass: every block's window is HEAD-anchored at its first site's
-    key position. Blocks whose key interval exceeds the span (a skipped
-    z/y region between the block's rows) become JUMBO blocks: a second
-    kernel pass gives each of them `jwin` extra sentinel-anchored windows
-    (anchors at evenly spaced sites, so windows track where the block's
-    queries actually land). Query positions are monotone within a block
-    (site keys sorted; y/z clamped to the grid), so coverage is certified
-    by jwin+1 segment conditions per (group, block); `n_overflow` counts
-    (a) jump blocks beyond `jbcap` and (b) violated segments — 0 means
-    EXACTLY no dropped contributions, and bench.py gates on it.
+    key position. (group, block) pairs whose key interval exceeds the
+    span get GREEDY coverage windows: starting from the main window's end,
+    each extra window is anchored at the first still-uncovered query (one
+    bisection per pair per round), so windows land exactly on the query
+    clusters — on LiDAR ring data most jump pairs need only 2-3 windows
+    (tools/probe_spans on the HDL-64E fixture), where evenly-spaced
+    sentinel anchoring wasted its budget. Each extra window becomes one
+    flat SLOT processed by the slot kernel (grid step = one window).
+
+    Budgets (all static): `pairs` = max jump pairs given greedy coverage,
+    `gwin` = max extra windows per pair, `slots` = total slot capacity.
+    `n_overflow` counts exactly: still-uncovered (site, group) window rows
+    after the greedy rounds, plus bs-conservative counts for pairs/slots
+    beyond the budgets — 0 certifies EXACTLY no dropped contributions
+    (greedy windows are anchored at the minimum uncovered query, so rows
+    between coverage runs match no query; see _plan_finish), and bench.py
+    gates on it.
 
     Pass exact_stats=True (tools/sweeps) for a per-site uncovered-row
     count (materializes (G, V) positions — tools only).
     """
     firsts, lasts_kx, ctx = _plan_ctx(
         out_coords, out_valid, kernel3, stride3, pad3, in_dims, span, bs,
-        jbcap, jwin, x_keys.shape[0],
+        slots, gwin, pairs, x_keys.shape[0],
     )
     n_iter = max(1, math.ceil(math.log2(x_keys.shape[0] + 1)))
     pos2 = _bisect(x_keys, jnp.stack([firsts, lasts_kx]), n_iter)
@@ -673,8 +674,8 @@ def make_span_plan(
 def _plan_finish(x_keys, pos2, ctx, exact_stats: bool = False) -> SpanPlan:
     kernel3, stride3, pad3 = ctx["kernel3"], ctx["stride3"], ctx["pad3"]
     in_dims, span, bs = ctx["in_dims"], ctx["span"], ctx["bs"]
-    jbcap, jwin, kx, G, NB = (
-        ctx["jbcap"], ctx["jwin"], ctx["kx"], ctx["G"], ctx["NB"]
+    js, gwin, jp, kx, G, NB = (
+        ctx["js"], ctx["gwin"], ctx["jp"], ctx["kx"], ctx["G"], ctx["NB"]
     )
     Vin = ctx["Vin"]
     ocoords, ovalid = ctx["ocoords"], ctx["ovalid"]
@@ -694,83 +695,46 @@ def _plan_finish(x_keys, pos2, ctx, exact_stats: bool = False) -> SpanPlan:
 
     gp = jnp.stack([ky, kz], axis=1)  # (G, 2)
 
-    # ---------------- jumbo pass metadata ------------------------------
-    # Each jump block gets 2*jwin - 1 extra windows: the block is split at
-    # jwin+1 anchor positions (first site, jwin-1 interior sentinels, end);
-    # every inter-anchor segment gets a HEAD window at its start anchor
-    # (segment 0's head is the main window itself) and a TAIL window ending
-    # at its end anchor — so a segment containing one big position jump
-    # (the z/y-row-skip case) is covered at both ends. Windows are sorted
-    # and chained with exclusion bounds (no double counting), and the
-    # remaining union gaps are checked EXACTLY against the block's site
-    # queries — n_overflow counts truly-uncovered (site, group) pairs.
-    JW = 2 * jwin - 1
-    if jbcap > 0:
-        jump_b = jump.any(axis=0)  # (NB,)
-        n_jumbo = jnp.sum(jump_b)
-        iota_nb = jnp.arange(NB, dtype=jnp.int32)
-        sorted_blk = _compact_by_sort(
-            jnp.where(jump_b, iota_nb, INT32_MAX), iota_nb, jbcap, 0
+    # ---------------- greedy coverage slots ----------------------------
+    # Every jump (group, block) pair gets windows placed GREEDILY: window
+    # w+1 is anchored at the minimum still-uncovered query (its bisected
+    # position, floored to a 16-row tile). A query q is covered by the
+    # union [.., E) iff q + kx <= keys[E] (pos(v) <= E <=> v <= keys[E]).
+    # Exactness of the union check: rows strictly between two coverage
+    # runs match no query — any matching query q would be below the next
+    # anchor (the minimum uncovered), hence covered, hence all its rows
+    # lie below the previous end; contradiction. So the single final
+    # check per row (q + kx <= keys[E_final]) certifies full coverage.
+    BIGQ = 0x7FFFFF00  # sentinel above any grid key, safe against +kx
+    if js > 0:
+        GNB = G * NB
+        iota_p = jnp.arange(GNB, dtype=jnp.int32)
+        jf = jump.reshape(-1)
+        n_pairs = jnp.sum(jf)
+        sel = _compact_by_sort(
+            jnp.where(jf, iota_p, INT32_MAX), iota_p, jp, 0
         )
-        jblk = jnp.where(jnp.arange(jbcap) < n_jumbo, sorted_blk, -1)
-        bsafe = jnp.maximum(jblk, 0)
-
-        nv_j = jnp.take(nvalid_blk, bsafe)  # (jbcap,)
-        sb_j = jnp.take(sb, bsafe, axis=1)  # (G, jbcap)
-        send_j = jnp.take(send, bsafe, axis=1)  # (G, jbcap)
-        spos = []
-        for w in range(1, jwin):
-            off = jnp.minimum(
-                (w * (bs - 1)) // jwin, jnp.maximum(nv_j - 1, 0)
-            )
-            idx = bsafe * bs + off
-            qw = block_q(
-                jnp.take(ocoords, idx, axis=0), (nv_j > 0).astype(jnp.int32),
-                BIG,
-            )  # (G, jbcap)
-            spos.append(qw)
-        if spos:
-            pos_w = _bisect(x_keys, jnp.stack(spos), n_iter)
-            # monotone envelope (clamped q should already be sorted)
-            env = [pos_w[0]]
-            for w in range(1, jwin - 1):
-                env.append(jnp.maximum(env[-1], pos_w[w]))
-        else:
-            env = []
-        # anchors p_0..p_jwin: p_0 = main head row, p_jwin = send
-        anchors = [sb_j * 16] + env + [send_j]
-        max_tile = Vin // 16
-        starts = []
-        for s in range(1, jwin):  # head windows of segments 1..jwin-1
-            starts.append(anchors[s] // 16)
-        for s in range(jwin):  # tail windows of all segments
-            endrow = anchors[s + 1] + (kx if s + 1 < jwin else 0)
-            starts.append(-(-(endrow - span) // 16))
-        jstart = jnp.clip(jnp.stack(starts), sb_j[None], max_tile)
-        jstart = jnp.sort(jstart, axis=0)  # (JW, G, jbcap)
-        main_end = sb_j * 16 + span  # (G, jbcap)
-        jexcl = [main_end]
-        for w in range(1, JW):
-            jexcl.append(jnp.maximum(jexcl[-1], jstart[w - 1] * 16 + span))
-        jexcl = jnp.stack(jexcl)  # (JW, G, jbcap)
-
-        # exact residual-gap check: union of (main + jumbo windows) has
-        # JW+1 candidate gaps; count block sites whose key window reaches
-        # into any gap (kernel-real queries: unclamped rows + validity)
+        sel_ok = jnp.arange(jp) < n_pairs
+        pg = sel // NB
+        pb = sel % NB
+        # per-pair block site queries. Valid in-grid rows only: for them
+        # the clamped monotone plan query equals the kernel-real query.
         site_idx = (
-            bsafe[:, None] * bs + jnp.arange(bs, dtype=jnp.int32)[None]
+            pb[:, None] * bs + jnp.arange(bs, dtype=jnp.int32)[None]
         ).reshape(-1)
-        jc3 = jnp.take(ocoords, site_idx, axis=0)
-        jv = jnp.take(ovalid, site_idx)
-        iyj = jc3[:, 1] * sy - py + ky[:, None]
-        izj = jc3[:, 2] * sz - pz + kz[:, None]
-        rowok_j = (
-            (jv[None] > 0)
-            & (iyj >= 0) & (iyj < Y) & (izj >= 0) & (izj < Z)
+        c3 = jnp.take(ocoords, site_idx, axis=0).reshape(jp, bs, 3)
+        v = jnp.take(ovalid, site_idx).reshape(jp, bs)
+        kyp = jnp.take(ky, pg)
+        kzp = jnp.take(kz, pg)
+        iy = c3[..., 1] * sy - py + kyp[:, None]
+        iz = c3[..., 2] * sz - pz + kzp[:, None]
+        rowok = (
+            (v > 0) & sel_ok[:, None]
+            & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
         )
-        qj = (izj * Y + iyj) * X + (jc3[:, 0] * sx - px)[None]
-        qj = qj.reshape(G, jbcap, bs)
-        rowok_j = rowok_j.reshape(G, jbcap, bs)
+        qa = jnp.where(
+            rowok, (iz * Y + iy) * X + (c3[..., 0] * sx - px), BIGQ
+        )  # (jp, bs)
 
         kpad_keys = jnp.concatenate(
             [x_keys, jnp.full((1,), 0x7FFFFFFF, jnp.int32)]
@@ -779,67 +743,141 @@ def _plan_finish(x_keys, pos2, ctx, exact_stats: bool = False) -> SpanPlan:
         def key_at(pos):  # keys[pos] with end clamp
             return jnp.take(kpad_keys, jnp.clip(pos, 0, Vin))
 
-        run_end = main_end  # (G, jbcap) union coverage high-water mark
-        uncov = jnp.zeros((G, jbcap, bs), bool)
-        for w in range(JW + 1):
-            gap_lo = run_end
-            if w < JW:
-                gap_hi = jstart[w] * 16
-                run_end = jnp.maximum(run_end, jstart[w] * 16 + span)
-            else:
-                gap_hi = send_j
-            has_gap = gap_hi > gap_lo
-            # site reaches into rows [gap_lo, gap_hi) iff its key window
-            # [q, q+kx) intersects keys[gap_lo .. gap_hi)
-            klo = key_at(gap_lo)
-            khi = key_at(gap_hi - 1)
-            hit = (
-                has_gap[..., None]
-                & (qj + (kx - 1) >= klo[..., None])
-                & (qj <= khi[..., None])
-            )
-            uncov = uncov | (hit & rowok_j)
-        real = (jblk >= 0)[None, :, None]
-        n_viol = jnp.sum(jnp.where(real, uncov, False))
+        sb_p = jnp.take(sb.reshape(-1), sel)
+        E = sb_p * 16 + span  # (jp,) coverage-end position (absolute rows)
+        sl_g, sl_b, sl_r, sl_e = [], [], [], []
 
-        n_overflow = jnp.maximum(n_jumbo - jbcap, 0) * bs + n_viol
-        # (G, jbcap, JW) layouts for kernel scalar prefetch
-        jstart = jnp.moveaxis(jstart, 0, -1)
-        jexcl = jnp.moveaxis(jexcl, 0, -1)
+        def greedy_round(qa_t, pg_t, pb_t, E_t):
+            Kcov = key_at(E_t)
+            unc = (qa_t + kx > Kcov[:, None]) & (qa_t < BIGQ)
+            A = jnp.min(jnp.where(unc, qa_t, BIGQ), axis=1)
+            need = A < BIGQ
+            posA = _bisect(x_keys, jnp.where(need, A, 0), n_iter)
+            r_w = posA // 16
+            sl_g.append(jnp.where(need, pg_t, 0))
+            sl_b.append(jnp.where(need, pb_t, -1))
+            sl_r.append(jnp.where(need, r_w, 0))
+            sl_e.append(jnp.where(need, E_t, 0))
+            return jnp.where(need, jnp.maximum(E_t, r_w * 16 + span), E_t)
+
+        # two-tier rounds: a few rounds over ALL pairs cover the typical
+        # 2-3-cluster case; the long tail (far-field pairs needing tens of
+        # windows) is COMPACTED to a small set before the remaining
+        # rounds, so per-round bisection cost tracks the actual work
+        # (tools/probe_spans cluster histogram on the HDL-64E fixture)
+        tier1 = min(gwin, 4)
+        for _w in range(tier1):
+            E = greedy_round(qa, pg, pb, E)
+        if gwin > tier1:
+            Kcov = key_at(E)
+            undone = jnp.any(
+                (qa + kx > Kcov[:, None]) & (qa < BIGQ), axis=1
+            )
+            jp2 = max(64, jp // 8)
+            iota2 = jnp.arange(jp, dtype=jnp.int32)
+            sel2 = _compact_by_sort(
+                jnp.where(undone, iota2, INT32_MAX), iota2, jp2, 0
+            )
+            ok2 = jnp.arange(jp2) < jnp.sum(undone)
+            qa2 = jnp.where(
+                ok2[:, None], jnp.take(qa, sel2, axis=0), BIGQ
+            )
+            pg2 = jnp.take(pg, sel2)
+            pb2 = jnp.where(ok2, jnp.take(pb, sel2), -1)
+            E2 = jnp.take(E, sel2)
+            for _w in range(gwin - tier1):
+                E2 = greedy_round(qa2, pg2, pb2, E2)
+            # write tier-2 coverage back so the final residual check (and
+            # pairs dropped beyond jp2, which keep their tier-1 E) stays
+            # exact over the FULL selected set
+            E = E.at[jnp.where(ok2, sel2, jp - 1)].max(
+                jnp.where(ok2, E2, 0), mode="drop"
+            )
+        # exact residual: rows still uncovered after the greedy budget
+        Kcov = key_at(E)
+        n_viol = jnp.sum((qa + kx > Kcov[:, None]) & (qa < BIGQ))
+
+        # flatten -> sort by (block, group) -> cap at js slots
+        fb = jnp.concatenate(sl_b)
+        fg = jnp.concatenate(sl_g)
+        fr = jnp.concatenate(sl_r)
+        fe = jnp.concatenate(sl_e)
+        liveslot = fb >= 0
+        n_slots = jnp.sum(liveslot)
+        order = jnp.where(liveslot, fb * G + fg, INT32_MAX)
+        _, sfb, sfg, sfr, sfe = jax.lax.sort(
+            (order, fb, fg, fr, fe), num_keys=1
+        )
+
+        def cap(a, fill):
+            if a.shape[0] >= js:
+                return a[:js]
+            return jnp.concatenate(
+                [a, jnp.full((js - a.shape[0],), fill, a.dtype)]
+            )
+
+        gs = jnp.stack([cap(sfg, 0), cap(sfb, -1), cap(sfr, 0), cap(sfe, 0)])
+        n_overflow = (
+            n_viol
+            + jnp.maximum(n_pairs - jp, 0) * bs
+            + jnp.maximum(n_slots - js, 0) * bs
+        )
     else:
         n_overflow = jnp.sum(jnp.where(jump, bs, 0))
-        jblk = jnp.zeros((0,), jnp.int32)
-        jstart = jnp.zeros((G, 0, JW), jnp.int32)
-        jexcl = jnp.zeros((G, 0, JW), jnp.int32)
+        gs = jnp.zeros((4, 0), jnp.int32)
 
     if exact_stats:
         n_overflow = _exact_uncovered(
             x_keys, ocoords, ovalid, ky, kz, kx, stride3, pad3, in_dims,
-            span, bs, sb, jblk, jstart, n_iter,
+            span, bs, sb, gs, n_iter,
         )
 
     return SpanPlan(
-        sb=sb, se=se, gp=gp, n_overflow=n_overflow,
-        jblk=jblk, jstart=jstart, jexcl=jexcl,
+        sb=sb, se=se, gp=gp, n_overflow=n_overflow, gs=gs,
         kernel3=tuple(kernel3), stride3=tuple(stride3), pad3=tuple(pad3),
-        in_dims=tuple(in_dims), span=span, bs=bs, jbcap=jbcap, jwin=jwin,
+        in_dims=tuple(in_dims), span=span, bs=bs, js=js, gwin=gwin, jp=jp,
     )
 
 
 def _exact_uncovered(
     x_keys, ocoords, ovalid, ky, kz, kx, stride3, pad3, in_dims, span, bs,
-    sb, jblk, jstart, n_iter,
+    sb, gs, n_iter,
 ):
     """Tools-only exact count of (site, group) WINDOW ROWS not covered by
-    the main window plus the block's jumbo windows (0 when the production
-    proxy is 0; the proxy is the certifying gate)."""
+    the main window plus the plan's greedy slots (0 when the production
+    counter is 0; the production counter is the certifying gate).
+
+    Uses the same union-coverage identity as the plan: scatter-max the
+    slot window ends into a (G, NB) coverage-end grid, then a row is
+    covered iff q + kx <= keys[E(g, block)] (rows between coverage runs
+    match no query — see _plan_finish)."""
     X, Y, Z = in_dims
     sx, sy, sz = stride3
     px, py, pz = pad3
     Vp = ocoords.shape[0]
     NB = Vp // bs
-    jbcap = jblk.shape[0]
-    jwin = jstart.shape[-1] if jbcap else 0
+    G = sb.shape[0]
+    Vin = x_keys.shape[0]
+
+    E = sb * 16 + span  # (G, NB) main-window coverage ends
+    if gs.shape[1]:
+        g, b, r, _ = gs
+        ok = b >= 0
+        flat = jnp.where(ok, jnp.maximum(b, 0) * G + g, G * NB)
+        E = (
+            jnp.moveaxis(E, 0, 1).reshape(-1)
+            .at[flat].max(jnp.where(ok, r * 16 + span, 0), mode="drop")
+        )
+        E = jnp.moveaxis(E.reshape(NB, G), 1, 0)
+
+    kpad_keys = jnp.concatenate(
+        [x_keys, jnp.full((1,), 0x7FFFFFFF, jnp.int32)]
+    )
+    blk = jnp.arange(Vp, dtype=jnp.int32) // bs  # (Vp,)
+    Kcov = jnp.take(
+        kpad_keys,
+        jnp.clip(jnp.take_along_axis(E, blk[None], axis=1), 0, Vin),
+    )  # (G, Vp)
 
     iy = ocoords[:, 1] * sy - py + ky[:, None]
     iz = ocoords[:, 2] * sz - pz + kz[:, None]
@@ -848,69 +886,30 @@ def _exact_uncovered(
         & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
     )
     q_all = (iz * Y + iy) * X + (ocoords[:, 0] * sx - px)[None]
-    q_all = jnp.where(row_ok, q_all, -1)
-    pos = _bisect(x_keys, jnp.stack([q_all, q_all + kx]), n_iter)
-    plo, phi = pos[0], pos[1]  # (G, Vp) row ranges
-
-    # window list per (g, block): main + jwin jumbo (or none)
-    blk = jnp.arange(Vp, dtype=jnp.int32) // bs  # (Vp,)
-    a_main = jnp.take_along_axis(sb, blk[None], axis=1) * 16  # (G, Vp)
-    wins_a = [a_main]
-    if jbcap:
-        idx = jnp.where(jblk >= 0, jblk, NB)
-        inv = jnp.full((NB + 1,), jbcap, jnp.int32).at[idx].set(
-            jnp.arange(jbcap, dtype=jnp.int32), mode="drop"
-        )[:NB]
-        jslot = jnp.take(inv, blk)  # (Vp,) jumbo slot or jbcap
-        jstart_pad = jnp.concatenate(
-            [jstart, jnp.full((jstart.shape[0], 1, jwin), -(10**9) // 16,
-                              jnp.int32)], axis=1,
-        )
-        for w in range(jwin):
-            aw = jnp.take_along_axis(
-                jstart_pad[:, :, w], jslot[None], axis=1
-            ) * 16
-            wins_a.append(aw)
-
-    uncovered = jnp.zeros((), jnp.int32)
-    for d in range(kx):
-        p = plo + d
-        active = (p < phi) & row_ok
-        inside = jnp.zeros_like(active)
-        for a in wins_a:
-            inside = inside | ((p >= a) & (p < a + span))
-        uncovered = uncovered + jnp.sum(active & ~inside)
-    return uncovered
+    return jnp.sum(row_ok & (q_all + kx > Kcov))
 
 
-def _jumbo_kernel(
-    # scalar prefetch (minor dim = jbcap: Mosaic lane-pads the minor dim
-    # of SMEM operands to 128, so a (GP, jbcap, JW) layout would blow the
-    # ~1 MB SMEM budget at JW->128 padding; see PERF.md)
-    jblk_ref,  # (jbcap,) int32 jumbo block index or -1
-    jst_ref,  # (GP*JW, jbcap) int32 window starts (16-row tile units)
-    jex_ref,  # (GP*JW, jbcap) int32 exclusion lower bounds (absolute rows)
+def _gw_kernel(
+    # scalar prefetch
+    gs_ref,  # (4, JS) int32: rows = (group, block [-1 dead], start tile,
+    # exclusion row); sorted by (block, group), dead slots last
     gp_ref,  # (GP, 2) int32 (ky_i, kz_i)
     # blocked inputs
-    site_ref,  # (1, 8, BS) int32
-    wg_ref,  # (GI, kx*TCP, TOP)
-    io_ref,  # (BS, TOP) f32 — the main kernel's output block (aliased)
+    site_ref,  # (1, 8, BS) int32 at the slot's block
+    wg_ref,  # (1, kx*TCP, TOP) the slot's group's folded weights
+    io_ref,  # (BS, TOP) f32 — main kernel's output block (aliased)
     # ANY inputs
     keys2_ref,
     feats_ref,
     # output (aliased onto the main output buffer)
     out_ref,  # (BS, TOP) f32
     # scratch
-    kscr,  # (2, 8, SPAN) int32
-    fscr,  # (2, SPAN, TCP)
-    sacc,  # (BS, kx*TCP) f32 per-group src accumulator across windows
-    acc_ref,  # (BS, TOP) f32
-    sems,  # DMA (2, 2)
+    kscr,  # (8, SPAN) int32
+    fscr,  # (SPAN, TCP)
+    sems,  # DMA (2,)
     *,
     kx,
     G,
-    GI,
-    JW,
     span,
     bs,
     in_dims,
@@ -918,131 +917,126 @@ def _jumbo_kernel(
     pad3,
     tilemap=None,
 ):
-    """Second-pass coverage for jump blocks: JW sentinel-anchored windows
-    per (group, block), equality extraction with an absolute-row exclusion
-    bound so rows already covered by the main window (or an earlier jumbo
-    window) are never double counted. Accumulates ON TOP of the main
-    kernel's output via input/output aliasing (window contributions cross
-    pl.when regions through the `sacc` scratch)."""
+    """Greedy coverage slots: one grid step = ONE extra window of ONE
+    (group, block) pair (flat slot list from _plan_finish). Each step DMAs
+    its span, equality-extracts the kx taps, folds with the slot's group
+    weights and accumulates onto the main kernel's output block via
+    input/output aliasing. Slots are sorted by block so revisits of an
+    output block are CONSECUTIVE grid steps (the block stays resident —
+    no stale read-back through the alias), with the first slot of each
+    block adding onto io_ref and later slots onto out_ref. The exclusion
+    row bound masks span rows already covered by the pair's earlier
+    windows (greedy windows can overlap only below their exclusion)."""
     SPAN = span
     j = pl.program_id(0)
-    go = pl.program_id(1)
-    GO = -(-G // GI)
     X, Y, Z = in_dims
     sx, sy, sz = stride3
     px, py, pz = pad3
-    TCP = fscr.shape[-1]
 
-    seq = [(gi, w) for gi in range(GI) for w in range(JW)]
+    b = gs_ref[1, j]
+    live = b >= 0
+    g = gs_ref[0, j]
+    r = gs_ref[2, j]
+    excl = gs_ref[3, j]
 
-    def copies(it, slot):
-        gi, w = seq[it]
-        r = jst_ref[(go * GI + gi) * JW + w, j]
-        s = pl.multiple_of(r * 16, 16)
-        r8 = pl.multiple_of((r // 8) * 8, 8)
-        ck = pltpu.make_async_copy(
-            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
-        )
-        cf = pltpu.make_async_copy(
-            feats_ref.at[pl.ds(s, SPAN), :], fscr.at[slot], sems.at[slot, 1]
-        )
-        return ck, cf
+    # branch-free DMAs (conditional DMAs crash the TPU runtime — PERF.md);
+    # dead slots DMA row 0 and their contribution is discarded
+    s = pl.multiple_of(r * 16, 16)
+    r8 = pl.multiple_of((r // 8) * 8, 8)
+    ck = pltpu.make_async_copy(
+        keys2_ref.at[pl.ds(r8, 8), :], kscr, sems.at[0]
+    )
+    cf = pltpu.make_async_copy(
+        feats_ref.at[pl.ds(s, SPAN), :], fscr, sems.at[1]
+    )
+    ck.start()
+    cf.start()
 
-    live = jblk_ref[j] >= 0
     ox = site_ref[0, 0, :]
     oy = site_ref[0, 1, :]
     oz = site_ref[0, 2, :]
     valid = site_ref[0, 3, :] > 0
     xbase = ox * sx - px
+    ky_i = gp_ref[g, 0]
+    kz_i = gp_ref[g, 1]
+    iy = oy * sy - py + ky_i
+    iz = oz * sz - pz + kz_i
+    row_ok = valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
+    q = (iz * Y + iy) * X + xbase  # (BS,)
 
-    for c in copies(0, 0):
-        c.start()
+    ck.wait()
+    cf.wait()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
-    for gi in range(GI):
-        g = go * GI + gi
-        ky_i = gp_ref[g, 0]
-        kz_i = gp_ref[g, 1]
-        iy = oy * sy - py + ky_i
-        iz = oz * sz - pz + kz_i
-        row_ok = valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
-        q = (iz * Y + iy) * X + xbase
+    prev_b = gs_ref[1, jnp.maximum(j - 1, 0)]
+    fresh = (j == 0) | (prev_b != b)
 
-        for w in range(JW):
-            it = gi * JW + w
-            slot = it % 2
-            if it + 1 < GI * JW:
-                for c in copies(it + 1, 1 - slot):
-                    c.start()
-            for c in copies(it, slot):
-                c.wait()
-            r = jst_ref[g * JW + w, j]
-            excl = jex_ref[g * JW + w, j]
-
-            @pl.when(live)
-            def _(w=w, slot=slot, row_ok=row_ok, q=q, r=r, excl=excl):
-                subl = jax.lax.broadcasted_iota(jnp.int32, (8, SPAN), 0)
-                kspan = jnp.sum(
-                    jnp.where(subl == (r - (r // 8) * 8), kscr[slot], 0),
-                    axis=0, keepdims=True,
-                )  # (1, SPAN)
-                # exclusion: lanes whose absolute row sits below the bound
-                # were already covered by an earlier window — mask them to
-                # a value no valid query can equal
-                kspan = jnp.where(r * 16 + lane >= excl, kspan, -2)
-                f = fscr[slot]
-                for d in range(kx):
-                    ok_d = row_ok & (xbase + d >= 0) & (xbase + d < X)
-                    qd = jnp.where(ok_d, q + d, -0x7FFFFFF)
-                    oh = (kspan == qd[:, None]).astype(wg_ref.dtype)
-                    p = jax.lax.dot_general(
-                        oh, f, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    if w == 0:
-                        sacc[:, d * TCP : (d + 1) * TCP] = p
-                    else:
-                        sacc[:, d * TCP : (d + 1) * TCP] = (
-                            sacc[:, d * TCP : (d + 1) * TCP] + p
-                        )
-
-        @pl.when(live)
-        def _(gi=gi):
-            if tilemap is None:
-                src = sacc[:].astype(wg_ref.dtype)
-                contrib = jax.lax.dot_general(
-                    src, wg_ref[gi], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                contrib = _fold_dot(
-                    lambda k0, k1: sacc[:, k0 * 128 : k1 * 128].astype(
-                        wg_ref.dtype
-                    ),
-                    wg_ref[gi], tilemap, bs, kx * (TCP // 128),
-                    wg_ref.shape[-1],
-                )
-            if gi == 0:
-                if GO == 1:
-                    acc_ref[:] = io_ref[:] + contrib
-                else:
-
-                    @pl.when(go == 0)
-                    def _():
-                        acc_ref[:] = io_ref[:] + contrib
-
-                    @pl.when(go > 0)
-                    def _():
-                        acc_ref[:] = out_ref[:] + contrib
-            else:
-                acc_ref[:] = acc_ref[:] + contrib
-
+    # dead slots (budget padding at the tail) skip all compute — they
+    # cost one span DMA only
     @pl.when(live)
     def _():
-        out_ref[:] = acc_ref[:]
+        subl = jax.lax.broadcasted_iota(jnp.int32, (8, SPAN), 0)
+        kspan = jnp.sum(
+            jnp.where(subl == (r - (r // 8) * 8), kscr[:], 0),
+            axis=0, keepdims=True,
+        )  # (1, SPAN)
+        # rows below the exclusion bound were covered by the pair's
+        # earlier windows — mask them to a value no query can equal
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
+        kspan2 = jnp.where(r * 16 + lane >= excl, kspan, -2)
 
-    # dummy slot: pass the main output through unchanged
-    @pl.when(jnp.logical_not(live) & (go == 0))
+        f = fscr[:]
+        parts = []
+        for d in range(kx):
+            ok_d = row_ok & (xbase + d >= 0) & (xbase + d < X)
+            qd = jnp.where(ok_d, q + d, -0x7FFFFFF)
+            oh = (kspan2 == qd[:, None]).astype(wg_ref.dtype)
+            parts.append(
+                jax.lax.dot_general(
+                    oh, f, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        if tilemap is None:
+            src = jnp.concatenate(parts, axis=1).astype(wg_ref.dtype)
+            contrib = jax.lax.dot_general(
+                src, wg_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BS, TOP)
+        else:
+            TCP_ = fscr.shape[-1]
+            kpd = TCP_ // 128
+
+            def src_of(k0, k1):
+                segs = []
+                k = k0
+                while k < k1:
+                    d, off = divmod(k, kpd)
+                    hi = min(k1 - d * kpd, kpd)
+                    segs.append(
+                        parts[d][:, off * 128 : hi * 128].astype(
+                            wg_ref.dtype
+                        )
+                    )
+                    k = d * kpd + hi
+                return (
+                    segs[0] if len(segs) == 1
+                    else jnp.concatenate(segs, axis=1)
+                )
+
+            contrib = _fold_dot(
+                src_of, wg_ref[0], tilemap, bs, kx * kpd, wg_ref.shape[-1]
+            )
+
+        @pl.when(fresh)
+        def _():
+            out_ref[:] = io_ref[:] + contrib
+
+        @pl.when(jnp.logical_not(fresh))
+        def _():
+            out_ref[:] = out_ref[:] + contrib
+
+    # dead slots all park on one trash block; define it once
+    @pl.when(jnp.logical_not(live) & fresh)
     def _():
         out_ref[:] = io_ref[:]
 
@@ -1100,9 +1094,8 @@ def span_conv_parts(
     V = out_coords.shape[0]
     NB = -(-V // bs)
     Vp = NB * bs
-    jbcap = plan.jbcap
-    JW = plan.jstart.shape[-1]  # 2*jwin - 1 head+tail segment windows
-    NBP = NB + jbcap  # jumbo dummy slots park on trailing trash blocks
+    JS = plan.gs.shape[1]  # greedy coverage slot capacity
+    NBP = NB + 1  # dead slots all park on ONE trailing trash block
 
     import os
 
@@ -1113,8 +1106,8 @@ def span_conv_parts(
         GP_ = GO_ * GI_
         print(
             f"[span] V={V} Vin={x_keys.shape[0]} bs={bs} NB={NB} span={span}"
-            f" kx={kx} G={G} GI={GI_} GP={GP_} jbcap={jbcap} JW={JW}"
-            f" sbse={GP_ * NB * 4}B jstart={GP_ * jbcap * JW * 4}B"
+            f" kx={kx} G={G} GI={GI_} GP={GP_} JS={JS}"
+            f" sbse={GP_ * NB * 4}B gs={4 * JS * 4}B"
             f" TCP={TCP} TOP={TOP} parts={len(parts)}",
             flush=True,
         )
@@ -1177,7 +1170,6 @@ def span_conv_parts(
     GO = -(-G // GI)
     GP = GO * GI
     gp = plan.gp
-    jstart, jexcl = plan.jstart, plan.jexcl
     if GP > G:  # pad: weights zero (contribute nothing), spans copy row 0
         wg = jnp.concatenate(
             [wg, jnp.zeros((GP - G, kx * TCP, TOP), wg.dtype)]
@@ -1186,13 +1178,6 @@ def span_conv_parts(
             [sbse, jnp.broadcast_to(sbse[:1], (GP - G, NB))]
         )
         gp = jnp.concatenate([gp, jnp.zeros((GP - G, 2), jnp.int32)])
-        if jbcap:
-            jstart = jnp.concatenate(
-                [jstart, jnp.broadcast_to(jstart[:1], (GP - G, jbcap, JW))]
-            )
-            jexcl = jnp.concatenate(
-                [jexcl, jnp.broadcast_to(jexcl[:1], (GP - G, jbcap, JW))]
-            )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1232,48 +1217,44 @@ def span_conv_parts(
         wg, keys2, feats_pad,
     )
 
-    if jbcap:
-        def _blk(j, go, jb, *_):
-            return (jnp.where(jb[j] >= 0, jb[j], NB + j), 0)
+    if JS:
+        def _blk(j, gs, *_):
+            return (jnp.where(gs[1, j] >= 0, gs[1, j], NB), 0)
 
-        jgrid = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,  # jblk, jstart, jexcl, gp
-            grid=(jbcap, GO),
+        ggrid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # gs, gp
+            grid=(JS,),
             in_specs=[
                 pl.BlockSpec(
                     (1, 8, bs),
-                    lambda j, go, jb, *_: (jnp.clip(jb[j], 0, NB - 1), 0, 0),
+                    lambda j, gs, *_: (jnp.clip(gs[1, j], 0, NB - 1), 0, 0),
                 ),
-                pl.BlockSpec((GI, kx * TCP, TOP), lambda j, go, *_: (go, 0, 0)),
+                pl.BlockSpec(
+                    (1, kx * TCP, TOP), lambda j, gs, *_: (gs[0, j], 0, 0)
+                ),
                 pl.BlockSpec((bs, TOP), _blk),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((bs, TOP), _blk),
             scratch_shapes=[
-                pltpu.VMEM((2, 8, span), jnp.int32),
-                pltpu.VMEM((2, span, TCP), dtype),
-                pltpu.VMEM((bs, kx * TCP), jnp.float32),
-                pltpu.VMEM((bs, TOP), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((8, span), jnp.int32),
+                pltpu.VMEM((span, TCP), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        jkern = functools.partial(
-            _jumbo_kernel, kx=kx, G=G, GI=GI, JW=JW, span=span, bs=bs,
+        gkern = functools.partial(
+            _gw_kernel, kx=kx, G=G, span=span, bs=bs,
             in_dims=in_dims, stride3=stride3, pad3=pad3, tilemap=tilemap,
         )
-        # (GP, jbcap, JW) -> (GP*JW, jbcap): SMEM operands are lane-padded
-        # on the minor dim to 128, so JW must not be minor
-        jstart2 = jnp.moveaxis(jstart, -1, 1).reshape(GP * JW, jbcap)
-        jexcl2 = jnp.moveaxis(jexcl, -1, 1).reshape(GP * JW, jbcap)
         out = pl.pallas_call(
-            jkern,
-            grid_spec=jgrid,
+            gkern,
+            grid_spec=ggrid,
             out_shape=jax.ShapeDtypeStruct((NBP * bs, TOP), jnp.float32),
-            input_output_aliases={6: 0},
+            input_output_aliases={4: 0},
             interpret=_interpret(),
         )(
-            plan.jblk, jstart2, jexcl2, gp,
+            plan.gs, gp,
             site_pack, wg, out, keys2, feats_pad,
         )
     return out[:V, :TO]
@@ -1281,507 +1262,6 @@ def span_conv_parts(
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
-
-
-# ---------------------------------------------------------------------------
-# Packed-window span conv — the small-channel fast path.
-#
-# The wide kernel's per-site cost is G*(kx*span*TCP + kx*TCP*TOP) with TCP =
-# ceil(T*cin/128)*128: at T*cin << 128 (the whole UNet stride-1/2 tier at
-# C=16/32, the MotionNet stem at T*cin = 10) most of every extraction and
-# fold dot multiplies lane PADDING. When kx*(T*cin + ndig + 3) <= 128 the
-# packed kernel instead:
-#
-#   1. packs, per input row s, the kx-tap window [feats[s..s+kx-1] plus
-#      base-128 KEY digits and ROW-INDEX digits of each tap row] into one
-#      128-lane row (keys/rows ride as digits <= 127, exactly representable
-#      in bf16 through the extraction dot),
-#   2. per (block, group) computes ONE lower-bound one-hot
-#      (kspan >= q) & (kprev < q) — site keys are sorted and unique, so it
-#      has exactly one 1 — and extracts the whole window with ONE dot
-#      (bs, span) @ (span, 128): kx times fewer extraction FLOPs,
-#   3. aligns taps by digit-equality selects (tap d of site q = the
-#      extracted row whose key digits equal q+d's; presence gaps fall out
-#      exactly, VPU selects on static lane slices),
-#   4. applies ONE global folded weight (KK = G*kx*T*cin rows, not
-#      G*kx*TCP) per block: G*kx/ceil(KK/128) times fewer fold FLOPs.
-#
-# Coverage/exclusion stay EXACT under the same SpanPlan: extracted rows
-# beyond a window's span are masked by the row-index digits
-# (rowv < window_end), and jumbo windows anchor at rows >= their exclusion
-# bound (kspan masked below it), so every tap row is contributed by exactly
-# the window whose [start, start+span) covers it — the plan's residual-gap
-# certification is unchanged.
-# ---------------------------------------------------------------------------
-
-
-def _ndig_for(in_dims) -> int:
-    n_cells = int(np.prod(in_dims))
-    return max(1, math.ceil(math.log2(n_cells + 2) / 7))
-
-
-def packed_layout(kernel3, T, cin, in_dims):
-    """Returns (TD, ndig, lanes) of the packed layout, or None when the
-    kx-tap window does not fit 128 lanes."""
-    kx = int(kernel3[0])
-    ndig = _ndig_for(in_dims)
-    TC = T * cin
-    TD = TC + ndig + 3  # feats + key digits + row-index digits
-    TD8 = -(-TD // 8) * 8
-    if kx * TD8 <= 128:
-        TD = TD8  # 8-aligned lane offsets when they fit
-    elif kx * TD > 128:
-        return None
-    return TD, ndig, 128
-
-
-def _pack_feats(x_keys, feats_tc, kx, TD, TC, ndig, span, dtype):
-    """(Vin, TC) + keys -> (Vin + span + 16, 128) packed rows: row s holds
-    kx tap blocks [feats[s+j], key-digits[s+j], row-digits[s+j]]."""
-    Vin = x_keys.shape[0]
-    tail = kx + span + 16
-    kpad = jnp.concatenate(
-        [x_keys, jnp.full((tail,), KEY_SENTINEL, jnp.int32)]
-    )
-    rows = jnp.arange(Vin + tail, dtype=jnp.int32)
-    cols = [jnp.concatenate([feats_tc.astype(dtype), jnp.zeros((tail, TC), dtype)])]
-    for p in range(ndig):
-        cols.append(((kpad >> (7 * p)) & 127).astype(dtype)[:, None])
-    for p in range(3):
-        cols.append(((rows >> (7 * p)) & 127).astype(dtype)[:, None])
-    f1 = jnp.concatenate(cols, axis=-1)  # (Vin + tail, TC + ndig + 3)
-    if f1.shape[-1] < TD:
-        f1 = jnp.pad(f1, ((0, 0), (0, TD - f1.shape[-1])))
-    n_out = Vin + span + 16
-    fp = jnp.concatenate(
-        [f1[j : j + n_out] for j in range(kx)], axis=-1
-    )  # (n_out, kx*TD)
-    if fp.shape[-1] < 128:
-        fp = jnp.pad(fp, ((0, 0), (0, 128 - fp.shape[-1])))
-    return fp
-
-
-def _packed_extract(
-    kspan, fslot, q, row_ok, xbase, covend, kx, TD, TC, ndig, X_dim, dtype,
-    excl_rows=None,
-):
-    """Shared main/jumbo packed extraction for one (block, group, window):
-    lower-bound one-hot -> one dot -> digit-aligned (bs, kx*TC) taps."""
-    bs = q.shape[0]
-    span = kspan.shape[-1]
-    if excl_rows is not None:
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
-        kspan = jnp.where(lane + excl_rows >= 0, kspan, -2)
-        # excl_rows = start*16 - excl (<= 0 lanes masked)
-    kprev = jnp.concatenate(
-        [jnp.full((1, 1), -(2**30), jnp.int32), kspan[:, : span - 1]],
-        axis=1,
-    )
-    qs = jnp.where(row_ok, q, -0x7FFFFFF)
-    oh = ((kspan >= qs[:, None]) & (kprev < qs[:, None])).astype(dtype)
-    X = jax.lax.dot_general(
-        oh, fslot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bs, 128)
-
-    out_parts = []
-    covf = covend.astype(jnp.float32)
-    for d in range(kx):
-        ok_d = row_ok & (xbase + d >= 0) & (xbase + d < X_dim)
-        qd = q + d
-        acc = jnp.zeros((bs, TC), jnp.float32)
-        for j in range(kx):
-            base = j * TD
-            m = ok_d
-            for p in range(ndig):
-                dig = ((qd >> (7 * p)) & 127).astype(jnp.float32)
-                m = m & (X[:, base + TC + p] == dig)
-            rowv = (
-                X[:, base + TC + ndig]
-                + 128.0 * X[:, base + TC + ndig + 1]
-                + 16384.0 * X[:, base + TC + ndig + 2]
-            )
-            m = m & (rowv < covf)
-            # Mosaic can't insert a minor dim on i1 vectors ("only supported
-            # for 32-bit types") — widen the mask to f32 first and multiply
-            mf = m.astype(jnp.float32)
-            acc = acc + mf[:, None] * X[:, base : base + TC]
-        out_parts.append(acc)
-    return jnp.concatenate(out_parts, axis=-1)  # (bs, kx*TC)
-
-
-def _packed_kernel(
-    sbse_ref,  # (G, NB) int32 span starts (sign bit = dead block)
-    gp_ref,  # (G, 2)
-    site_ref,  # (1, 8, BS)
-    wg_ref,  # (KKP, TOP) global folded weight
-    keys2_ref,  # ANY
-    fp_ref,  # ANY (Vin + span + 16, 128) packed
-    out_ref,  # (BS, TOP) f32
-    kscr,  # (2, 8, SPAN) int32
-    fscr,  # (2, SPAN, 128)
-    src_scr,  # (BS, KKP) f32
-    sems,
-    *,
-    kx,
-    G,
-    TD,
-    TC,
-    ndig,
-    KKP,
-    span,
-    bs,
-    in_dims,
-    stride3,
-    pad3,
-):
-    b = pl.program_id(0)
-    X_dim, Y, Z = in_dims
-    sx, sy, sz = stride3
-    px, py, pz = pad3
-
-    def copies(gi, slot):
-        r = sbse_ref[gi, b] & 0xFFFF
-        s = pl.multiple_of(r * 16, 16)
-        r8 = pl.multiple_of((r // 8) * 8, 8)
-        ck = pltpu.make_async_copy(
-            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
-        )
-        cf = pltpu.make_async_copy(
-            fp_ref.at[pl.ds(s, span), :], fscr.at[slot], sems.at[slot, 1]
-        )
-        return ck, cf
-
-    live = sbse_ref[0, b] >= 0
-    ox = site_ref[0, 0, :]
-    oy = site_ref[0, 1, :]
-    oz = site_ref[0, 2, :]
-    valid = site_ref[0, 3, :] > 0
-    xbase = ox * sx - px
-
-    # scratch pad lanes beyond KK feed zero weight rows — but inf/nan
-    # garbage times zero is nan, so they must be zeroed explicitly
-    KK = G * kx * TC
-    if KKP > KK:
-        src_scr[:, KK:KKP] = jnp.zeros((bs, KKP - KK), jnp.float32)
-
-    for c in copies(0, 0):
-        c.start()
-    for gi in range(G):
-        slot = gi % 2
-        if gi + 1 < G:
-            for c in copies(gi + 1, 1 - slot):
-                c.start()
-        for c in copies(gi, slot):
-            c.wait()
-        ky_i = gp_ref[gi, 0]
-        kz_i = gp_ref[gi, 1]
-        iy = oy * sy - py + ky_i
-        iz = oz * sz - pz + kz_i
-        row_ok = valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
-        q = (iz * Y + iy) * X_dim + xbase
-        r = sbse_ref[gi, b] & 0xFFFF
-
-        @pl.when(live)
-        def _(gi=gi, slot=slot, row_ok=row_ok, q=q, r=r):
-            subl = jax.lax.broadcasted_iota(jnp.int32, (8, span), 0)
-            kspan = jnp.sum(
-                jnp.where(subl == (r - (r // 8) * 8), kscr[slot], 0),
-                axis=0, keepdims=True,
-            )
-            covend = r * 16 + span
-            src = _packed_extract(
-                kspan, fscr[slot], q, row_ok, xbase, covend, kx, TD, TC,
-                ndig, X_dim, wg_ref.dtype,
-            )
-            src_scr[:, gi * kx * TC : (gi + 1) * kx * TC] = src
-
-    @pl.when(live)
-    def _():
-        out_ref[:] = jax.lax.dot_general(
-            src_scr[:].astype(wg_ref.dtype), wg_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(jnp.logical_not(live))
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-
-def _packed_jumbo_kernel(
-    jblk_ref,  # (jbcap,)
-    jst_ref,  # (G*JW, jbcap)
-    jex_ref,  # (G*JW, jbcap)
-    gp_ref,  # (G, 2)
-    site_ref,
-    wg_ref,  # (KKP, TOP)
-    io_ref,  # (BS, TOP) main output (aliased)
-    keys2_ref,
-    fp_ref,
-    out_ref,
-    kscr,
-    fscr,
-    src_scr,  # (BS, KKP) f32 — per-window contributions accumulate here
-    sems,
-    *,
-    kx,
-    G,
-    JW,
-    TD,
-    TC,
-    ndig,
-    KKP,
-    span,
-    bs,
-    in_dims,
-    stride3,
-    pad3,
-):
-    j = pl.program_id(0)
-    X_dim, Y, Z = in_dims
-    sx, sy, sz = stride3
-    px, py, pz = pad3
-
-    seq = [(gi, w) for gi in range(G) for w in range(JW)]
-
-    def copies(it, slot):
-        gi, w = seq[it]
-        r = jst_ref[gi * JW + w, j]
-        s = pl.multiple_of(r * 16, 16)
-        r8 = pl.multiple_of((r // 8) * 8, 8)
-        ck = pltpu.make_async_copy(
-            keys2_ref.at[pl.ds(r8, 8), :], kscr.at[slot], sems.at[slot, 0]
-        )
-        cf = pltpu.make_async_copy(
-            fp_ref.at[pl.ds(s, span), :], fscr.at[slot], sems.at[slot, 1]
-        )
-        return ck, cf
-
-    live = jblk_ref[j] >= 0
-    ox = site_ref[0, 0, :]
-    oy = site_ref[0, 1, :]
-    oz = site_ref[0, 2, :]
-    valid = site_ref[0, 3, :] > 0
-    xbase = ox * sx - px
-
-    KK = G * kx * TC
-    if KKP > KK:
-        src_scr[:, KK:KKP] = jnp.zeros((bs, KKP - KK), jnp.float32)
-
-    for c in copies(0, 0):
-        c.start()
-    for gi in range(G):
-        ky_i = gp_ref[gi, 0]
-        kz_i = gp_ref[gi, 1]
-        iy = oy * sy - py + ky_i
-        iz = oz * sz - pz + kz_i
-        row_ok = valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
-        q = (iz * Y + iy) * X_dim + xbase
-
-        for w in range(JW):
-            it = gi * JW + w
-            slot = it % 2
-            if it + 1 < G * JW:
-                for c in copies(it + 1, 1 - slot):
-                    c.start()
-            for c in copies(it, slot):
-                c.wait()
-            r = jst_ref[gi * JW + w, j]
-            excl = jex_ref[gi * JW + w, j]
-
-            @pl.when(live)
-            def _(gi=gi, w=w, slot=slot, row_ok=row_ok, q=q, r=r, excl=excl):
-                subl = jax.lax.broadcasted_iota(jnp.int32, (8, span), 0)
-                kspan = jnp.sum(
-                    jnp.where(subl == (r - (r // 8) * 8), kscr[slot], 0),
-                    axis=0, keepdims=True,
-                )
-                covend = r * 16 + span
-                src = _packed_extract(
-                    kspan, fscr[slot], q, row_ok, xbase, covend, kx, TD, TC,
-                    ndig, X_dim, wg_ref.dtype,
-                    excl_rows=r * 16 - excl,
-                )
-                lo = gi * kx * TC
-                hi = (gi + 1) * kx * TC
-                if w == 0:
-                    src_scr[:, lo:hi] = src
-                else:
-                    src_scr[:, lo:hi] = src_scr[:, lo:hi] + src
-
-    @pl.when(live)
-    def _():
-        out_ref[:] = io_ref[:] + jax.lax.dot_general(
-            src_scr[:].astype(wg_ref.dtype), wg_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(jnp.logical_not(live))
-    def _():
-        out_ref[:] = io_ref[:]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("T", "kt", "T_out", "t0_off")
-)
-def span_conv_packed(
-    x_keys,  # (Vin,) int32 sorted
-    x_feats,  # (Vin, T*cin), zeros at padding/non-occ
-    weight,  # (kx*G*kt, cin, cout)
-    out_coords,  # (V, 3)
-    out_valid,  # (V,)
-    plan: SpanPlan,
-    T: int,
-    kt: int = 1,
-    T_out: int | None = None,
-    t0_off: int = 0,
-):
-    """Packed-window span conv (see module section above). Exact under the
-    same plan/overflow semantics as span_conv_parts; eligibility via
-    packed_layout. Returns (V, T_out*cout) f32."""
-    if T_out is None:
-        T_out = T
-    kernel3 = plan.kernel3
-    span, bs = plan.span, plan.bs
-    stride3, pad3, in_dims = plan.stride3, plan.pad3, plan.in_dims
-    kx = int(kernel3[0])
-    G = len(_groups_yz(kernel3))
-    cin, cout = weight.shape[1], weight.shape[2]
-    TC = T * cin
-    lay = packed_layout(kernel3, T, cin, in_dims)
-    assert lay is not None, "packed span conv: window does not fit 128 lanes"
-    TD, ndig, _ = lay
-    TO = T_out * cout
-    TOP = -(-TO // 128) * 128
-    KK = G * kx * TC
-    KKP = -(-KK // 128) * 128
-    V = out_coords.shape[0]
-    NB = -(-V // bs)
-    Vp = NB * bs
-    jbcap = plan.jbcap
-    JW = plan.jstart.shape[-1]
-    NBP = NB + jbcap
-
-    dtype = weight.dtype if weight.dtype == jnp.bfloat16 else jnp.float32
-
-    # folded weight rows are (g, d, t, c)-ordered — exactly the packed
-    # src lane order (group-major, tap-major, t-major)
-    wg = fold_weights(
-        weight, kx, G, kt, T, dtype, T_out=T_out, t0_off=t0_off
-    )  # (G, kx*TC, TO)
-    wg = wg.reshape(KK, TO)
-    wg = jnp.pad(wg, ((0, KKP - KK), (0, TOP - TO)))
-
-    def padV(a, fill):
-        return jnp.concatenate(
-            [a, jnp.full((Vp - V,) + a.shape[1:], fill, a.dtype)]
-        ) if Vp > V else a
-
-    ocoords = padV(out_coords, 0)
-    ovalid = padV(out_valid.astype(jnp.int32), 0)
-    Vin = x_keys.shape[0]
-    nr16 = Vin // 16 + 17
-    kpad = jnp.concatenate(
-        [x_keys, jnp.full((nr16 * 16 + span - Vin,), KEY_SENTINEL, jnp.int32)]
-    )
-    keys2 = jnp.concatenate(
-        [kpad[j * 16 : j * 16 + nr16 * 16].reshape(nr16, 16) for j in range(span // 16)],
-        axis=1,
-    )
-    fp = _pack_feats(x_keys, x_feats, kx, TD, TC, ndig, span, dtype)
-
-    site_pack = jnp.stack(
-        [
-            ocoords[:, 0].reshape(NB, bs),
-            ocoords[:, 1].reshape(NB, bs),
-            ocoords[:, 2].reshape(NB, bs),
-            ovalid.reshape(NB, bs),
-        ] + [jnp.zeros((NB, bs), jnp.int32)] * 4,
-        axis=1,
-    )  # (NB, 8, bs)
-    dead = ovalid.reshape(NB, bs).sum(axis=1) == 0
-    sbse = jnp.where(dead[None, :], plan.sb | (-0x80000000), plan.sb)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(NB,),
-        in_specs=[
-            pl.BlockSpec((1, 8, bs), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((KKP, TOP), lambda b, *_: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((bs, TOP), lambda b, *_: (b, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, 8, span), jnp.int32),
-            pltpu.VMEM((2, span, 128), dtype),
-            pltpu.VMEM((bs, KKP), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    kern = functools.partial(
-        _packed_kernel, kx=kx, G=G, TD=TD, TC=TC, ndig=ndig, KKP=KKP,
-        span=span, bs=bs, in_dims=in_dims, stride3=stride3, pad3=pad3,
-    )
-    out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NBP * bs, TOP), jnp.float32),
-        interpret=_interpret(),
-    )(sbse, plan.gp, site_pack, wg, keys2, fp)
-
-    if jbcap:
-        jgrid = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(jbcap,),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 8, bs),
-                    lambda j, jb, *_: (jnp.clip(jb[j], 0, NB - 1), 0, 0),
-                ),
-                pl.BlockSpec((KKP, TOP), lambda j, *_: (0, 0)),
-                pl.BlockSpec(
-                    (bs, TOP),
-                    lambda j, jb, *_: (jnp.where(jb[j] >= 0, jb[j], NB + j), 0),
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (bs, TOP),
-                lambda j, jb, *_: (jnp.where(jb[j] >= 0, jb[j], NB + j), 0),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2, 8, span), jnp.int32),
-                pltpu.VMEM((2, span, 128), dtype),
-                pltpu.VMEM((bs, KKP), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2)),
-            ],
-        )
-        jkern = functools.partial(
-            _packed_jumbo_kernel, kx=kx, G=G, JW=JW, TD=TD, TC=TC,
-            ndig=ndig, KKP=KKP, span=span, bs=bs, in_dims=in_dims,
-            stride3=stride3, pad3=pad3,
-        )
-        jstart2 = jnp.moveaxis(plan.jstart, -1, 1).reshape(
-            plan.jstart.shape[0] * JW, jbcap
-        )
-        jexcl2 = jnp.moveaxis(plan.jexcl, -1, 1).reshape(
-            plan.jexcl.shape[0] * JW, jbcap
-        )
-        out = pl.pallas_call(
-            jkern,
-            grid_spec=jgrid,
-            out_shape=jax.ShapeDtypeStruct((NBP * bs, TOP), jnp.float32),
-            input_output_aliases={6: 0},
-            interpret=_interpret(),
-        )(
-            plan.jblk, jstart2, jexcl2, plan.gp,
-            site_pack, wg, out, keys2, fp,
-        )
-    return out[:V, :TO]
 
 
 def span_conv_slab(

@@ -127,6 +127,6 @@ def test_span_plans_zero_overflow_at_full_scale():
     assert int(n_sites) * 1.1 < mc.site_capacities[0]
     plan = make_span_plan(
         slab.keys, slab.coords, slab.valid, (5, 5, 5),
-        in_dims=mc.grid_size, span=256, jbcap=128, jwin=3,
+        in_dims=mc.grid_size, span=256, slots=8192, gwin=32, pairs=4096,
     )
     assert int(plan.n_overflow) == 0, int(plan.n_overflow)

@@ -24,12 +24,12 @@ DIMS3 = (16, 12, 10)
 T = 4
 
 
-@pytest.fixture(params=["packed", "wide"])
-def engine_mode(request, monkeypatch):
-    """Run span tests under both kernel paths: the packed-window
-    small-channel path and the wide per-tap path (PACKED_ENABLE off)."""
-    monkeypatch.setattr(span_conv, "PACKED_ENABLE", request.param == "packed")
-    return request.param
+@pytest.fixture()
+def engine_mode():
+    """Single production kernel path (the wide per-tap kernel). The
+    packed-window variant was removed after measuring 2.5x slower
+    end-to-end on hardware (PERF.md round-3 findings)."""
+    return "wide"
 
 
 def _random_slab(rng, n, cap, cin, ext=None):
@@ -201,19 +201,19 @@ def test_span_dense_strided_narrow_span_jumbo_covers(engine_mode):
     nojumbo = make_span_plan(
         slab.keys, out.coords, out.valid, (2, 2, 2),
         stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
-        jbcap=0,
+        slots=0,
     )
     assert int(nojumbo.n_overflow) > 0  # narrow span drops (and reports)
 
     plan = make_span_plan(
         slab.keys, out.coords, out.valid, (2, 2, 2),
         stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
-        jbcap=16, jwin=6,
+        slots=64, gwin=8,
     )
     exact = make_span_plan(
         slab.keys, out.coords, out.valid, (2, 2, 2),
         stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
-        jbcap=16, jwin=6, exact_stats=True,
+        slots=64, gwin=8, exact_stats=True,
     )
     assert int(plan.n_overflow) == 0, int(plan.n_overflow)
     assert int(exact.n_overflow) == 0, int(exact.n_overflow)
@@ -223,9 +223,9 @@ def test_span_dense_strided_narrow_span_jumbo_covers(engine_mode):
     )
 
 
-def test_span_jumbo_capacity_overflow_reported():
-    """More jump blocks than jbcap -> the counter reports them (never
-    silent)."""
+def test_span_greedy_budget_overflow_reported():
+    """Jump pairs / windows beyond the greedy budgets -> the counter
+    reports them (never silent)."""
     rng = np.random.default_rng(21)
     cin, cout = 3, 2
     slab = _random_slab(rng, 2600, 2048, cin)
@@ -239,22 +239,39 @@ def test_span_jumbo_capacity_overflow_reported():
     full = make_span_plan(
         slab.keys, out.coords, out.valid, (2, 2, 2),
         stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
-        jbcap=16, jwin=6,
+        slots=128, gwin=8,
     )
-    n_jumbo = int((np.asarray(full.jblk) >= 0).sum())
-    assert n_jumbo > 1
+    n_slots = int((np.asarray(full.gs)[1] >= 0).sum())
+    assert n_slots > 1
+    assert int(full.n_overflow) == 0
+    # pair budget of 1: all but one jump pair's rows are reported
     tiny = make_span_plan(
         slab.keys, out.coords, out.valid, (2, 2, 2),
         stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
-        jbcap=1, jwin=6,
+        slots=128, gwin=8, pairs=1,
     )
-    assert int(tiny.n_overflow) >= (n_jumbo - 1) * 64
+    assert int(tiny.n_overflow) > 0
+    # slot budget of 1 (pair budget unchanged): dropped slots are
+    # reported conservatively, bs rows per unplaced window
+    tiny2 = make_span_plan(
+        slab.keys, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
+        slots=1, gwin=8, pairs=128,
+    )
+    assert int(tiny2.n_overflow) >= (n_slots - 1) * 64
+    # gwin budget of 1: pairs needing more windows report uncovered rows
+    tiny3 = make_span_plan(
+        slab.keys, out.coords, out.valid, (2, 2, 2),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=DIMS3, span=64, bs=64,
+        slots=128, gwin=1,
+    )
+    assert int(tiny3.n_overflow) >= 0  # may cover with 1 window/pair
 
 
-def test_packed_t_band_pruned_matches_wide():
-    """Packed path with a 3^4 t-kernel and a TRAILING slot window
-    (t0_off > 0, T_out < T — the t-pruned inference schedule) must match
-    the wide kernel exactly, including the fold's rectangular t-band."""
+def test_t_band_pruned_trailing_window():
+    """3^4 t-kernel with a TRAILING slot window (t0_off > 0, T_out < T —
+    the t-pruned inference schedule) must match the window oracle,
+    including the fold's rectangular t-band."""
     from insmos_tpu.sparse.slab import slice_slots
     from insmos_tpu.sparse.span_conv import make_span_plan
 
@@ -264,54 +281,16 @@ def test_packed_t_band_pruned_matches_wide():
     kernel = (3, 3, 3, 3)
     w = jnp.asarray(rng.normal(size=(81, cin, cout)).astype(np.float32)) * 0.2
     out = slice_slots(slab, 2, T - 2)
-    plan = make_span_plan(
-        slab.keys, slab.coords, slab.valid, (3, 3, 3), in_dims=DIMS3,
-        span=64, bs=64, jbcap=32, jwin=3,
-    )
-    outs = {}
-    saved = span_conv.PACKED_ENABLE
-    for mode in ("packed", "wide"):
-        span_conv.PACKED_ENABLE = mode == "packed"
-        try:
-            outs[mode] = np.asarray(
-                plan.conv(slab, w, out, kernel, t0_off=2).feats
-            )
-        finally:
-            span_conv.PACKED_ENABLE = saved
-    np.testing.assert_allclose(
-        outs["packed"], outs["wide"], atol=1e-4, rtol=1e-4
-    )
-
-
-def test_packed_stem_like_kx5():
-    """Stem geometry (5x5x5 kernel, cin=1): packed window fits via the
-    8-aligned tap layout; must match the window oracle."""
-    from insmos_tpu.sparse.span_conv import make_span_plan
-
-    rng = np.random.default_rng(35)
-    cin, cout = 1, 8
-    slab = _random_slab(rng, 900, 1024, cin)
-    kernel = (5, 5, 5, 1)
-    w = jnp.asarray(rng.normal(size=(125, cin, cout)).astype(np.float32)) * 0.2
     grid = site_grid(slab)
     tbl = window_tables(
-        grid, DIMS3, slab.coords, slab.valid, kernel[:3], vin=slab.capacity
+        grid, DIMS3, slab.coords, slab.valid, (3, 3, 3), vin=slab.capacity
     )
-    ref = window_conv(slab, w, tbl, slab, kernel)
-    from insmos_tpu.sparse.span_conv import packed_layout
-
-    assert packed_layout(kernel[:3], T, cin, DIMS3) is not None
+    ref = window_conv(slab, w, tbl, out, kernel, t0_off=2)
     plan = make_span_plan(
-        slab.keys, slab.coords, slab.valid, kernel[:3], in_dims=DIMS3,
-        span=128, bs=64, jbcap=32, jwin=3,
+        slab.keys, slab.coords, slab.valid, (3, 3, 3), in_dims=DIMS3,
+        span=64, bs=64, slots=64, gwin=8,
     )
-    assert int(plan.n_overflow) == 0
-    saved = span_conv.PACKED_ENABLE
-    span_conv.PACKED_ENABLE = True
-    try:
-        got = plan.conv(slab, w, slab, kernel)
-    finally:
-        span_conv.PACKED_ENABLE = saved
+    got = plan.conv(slab, w, out, kernel, t0_off=2)
     np.testing.assert_allclose(
         np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
     )
@@ -387,11 +366,11 @@ def test_span_dense_boundary_row_aliasing():
 
     plan = make_span_plan(
         slab.keys, slab.coords, slab.valid, (3, 3, 3), in_dims=dims,
-        span=256, bs=128, jbcap=32, jwin=2,
+        span=256, bs=128, slots=64, gwin=8,
     )
     exact = make_span_plan(
         slab.keys, slab.coords, slab.valid, (3, 3, 3), in_dims=dims,
-        span=256, bs=128, jbcap=32, jwin=2, exact_stats=True,
+        span=256, bs=128, slots=64, gwin=8, exact_stats=True,
     )
     assert int(plan.n_overflow) == 0
     assert int(exact.n_overflow) == 0

@@ -114,10 +114,9 @@ def test_fold_matches_dense_jumbo_kernel():
 
     plan = make_span_plan(
         slab.keys, slab.coords, slab.valid, kernel[:3], in_dims=dims,
-        span=64, bs=128, jwin=6,
+        span=64, bs=128, slots=256, gwin=8,
     )
-    assert plan.jbcap > 0
-    assert int(jnp.sum(plan.jblk >= 0)) > 0, "no jumbo blocks materialized"
+    assert int(jnp.sum(plan.gs[1] >= 0)) > 0, "no coverage slots materialized"
     assert int(plan.n_overflow) == 0
     dense, tiled = _run_both(slab, w, kernel, plan)
     np.testing.assert_allclose(tiled, dense, atol=1e-4, rtol=1e-4)

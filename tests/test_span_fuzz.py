@@ -1,7 +1,7 @@
 """Randomized span-engine certification fuzz (slow, interpret mode).
 
 Property under test: for ANY site set / kernel geometry / (bs, span,
-jbcap, jwin) configuration, `make_span_plan.n_overflow == 0` implies the
+slots, gwin) configuration, `make_span_plan.n_overflow == 0` implies the
 span conv EXACTLY matches the window-engine oracle; when it is nonzero it
 must never be silently wrong (we only check the implication, which is the
 bench gate's contract). This is the property whose violation produced the
@@ -26,7 +26,7 @@ from insmos_tpu.sparse.span_conv import make_span_plan
 pytestmark = pytest.mark.slow
 
 CASES = [
-    # seed, dims, n_pts, T, kernel4, strided, bs, span, jbcap, jwin
+    # seed, dims, n_pts, T, kernel4, strided, bs, span, slots, gwin
     (0, (32, 28, 8), 3000, 3, (3, 3, 3, 3), False, 64, 128, 16, 2),
     (1, (48, 40, 12), 6000, 2, (3, 3, 3, 1), False, 128, 256, 16, 2),
     (2, (20, 18, 14), 1500, 4, (5, 5, 5, 1), False, 64, 192, 16, 3),
@@ -39,10 +39,10 @@ CASES = [
 
 
 @pytest.mark.parametrize(
-    "seed,dims,n,T,kernel,strided,bs,span,jbcap,jwin", CASES
+    "seed,dims,n,T,kernel,strided,bs,span,slots,gwin", CASES
 )
 def test_certified_plans_are_exact(
-    seed, dims, n, T, kernel, strided, bs, span, jbcap, jwin
+    seed, dims, n, T, kernel, strided, bs, span, slots, gwin
 ):
     rng = np.random.default_rng(seed)
     cin, cout = 3, 4
@@ -80,11 +80,11 @@ def test_certified_plans_are_exact(
 
     plan = make_span_plan(
         slab.keys, out.coords, out.valid, kernel[:3], stride3=s3, pad3=p3,
-        in_dims=dims, span=span, bs=bs, jbcap=jbcap, jwin=jwin,
+        in_dims=dims, span=span, bs=bs, slots=slots, gwin=gwin,
     )
     exact = make_span_plan(
         slab.keys, out.coords, out.valid, kernel[:3], stride3=s3, pad3=p3,
-        in_dims=dims, span=span, bs=bs, jbcap=jbcap, jwin=jwin,
+        in_dims=dims, span=span, bs=bs, slots=slots, gwin=gwin,
         exact_stats=True,
     )
     ovf, ex = int(plan.n_overflow), int(exact.n_overflow)
@@ -100,7 +100,7 @@ def test_certified_plans_are_exact(
         plan2 = make_span_plan(
             slab.keys, out.coords, out.valid, kernel[:3], stride3=s3,
             pad3=p3, in_dims=dims, span=2 * span, bs=bs,
-            jbcap=2 * jbcap, jwin=jwin + 2,
+            slots=4 * slots, gwin=2 * gwin,
         )
         assert int(plan2.n_overflow) == 0, int(plan2.n_overflow)
         got = plan2.conv(slab, w, out, kernel)

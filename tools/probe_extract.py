@@ -317,7 +317,7 @@ def run_production(name, V, C_in, C_out, T, span, G, kx=3, bs=128, seed=0):
     plan = jax.jit(
         lambda k, c, v: make_span_plan(
             k, c, v, (kx, 3, 3), in_dims=(X, Y, Z), span=span, bs=bs,
-            jbcap=128, jwin=2,
+            slots=1024, gwin=16,
         )
     )(keys_j, coords_j, valid_j)
     jax.block_until_ready(plan.sb)
@@ -328,10 +328,8 @@ def run_production(name, V, C_in, C_out, T, span, G, kx=3, bs=128, seed=0):
     import dataclasses
     plan0 = dataclasses.replace(
         plan,
-        jblk=jnp.zeros((0,), jnp.int32),
-        jstart=jnp.zeros((G, 0, plan.jstart.shape[-1]), jnp.int32),
-        jexcl=jnp.zeros((G, 0, plan.jstart.shape[-1]), jnp.int32),
-        jbcap=0,
+        gs=jnp.zeros((4, 0), jnp.int32),
+        slots=0,
     )
 
     fn_nojumbo = jax.jit(

@@ -77,10 +77,10 @@ def main():
     w2 = rng.normal(0, 0.1, (8, C, CO)).astype(np.float32)
     plan = make_span_plan(
         slab.keys, sout.coords, sout.valid, (2, 2, 2),
-        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=dims, span=64, bs=64,
-        jbcap=32, jwin=4,
-    )
-    print("jumbo blocks:", int((np.asarray(plan.jblk) >= 0).sum()),
+        stride3=(2, 2, 2), pad3=(0, 0, 0), in_dims=dims, span=128, bs=64,
+        slots=256, gwin=16,
+    )  # span % 128 == 0: Mosaic's keys-DMA lane alignment on hardware
+    print("coverage slots:", int((np.asarray(plan.gs)[1] >= 0).sum()),
           "overflow:", int(plan.n_overflow), flush=True)
     assert int(plan.n_overflow) == 0
     got2 = plan.conv(slab, jnp.asarray(w2), sout, (2, 2, 2, 1))

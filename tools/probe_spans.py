@@ -30,10 +30,23 @@ def main():
     from insmos_tpu.sparse.voxelize import voxelize_points
     import math
 
+    import os
+
     cfg = _bench_cfg()
     mc = cfg.model.motionnet
     W = cfg.model.n_past_steps
-    sample = make_window(cfg)
+    gen = os.environ.get("INSMOS_PROBE_GEN", "hdl64")
+    if gen == "hdl64":
+        from insmos_tpu.data.hdl64 import make_hdl64_window
+
+        sample = make_hdl64_window(cfg, seed=0)
+    else:
+        sample = make_window(cfg)
+    # n_filled < W simulates a warm-up window (suffix slots filled)
+    n_filled = int(os.environ.get("INSMOS_PROBE_FILL", str(W)))
+    if n_filled < W:
+        sample["scan_mask"][: W - n_filled] = False
+    print(f"generator={gen} n_filled={n_filled}")
     P = sample["points"].shape[1]
     pts = jnp.asarray(sample["points"])
     pv = (

@@ -52,7 +52,7 @@ def main():
     def one(k, c, v, f):
         plan = make_span_plan(
             k, c, v, (3, 3, 3), in_dims=(X, Y, Z), span=256, bs=128,
-            jbcap=64, jwin=2,
+            slots=512, gwin=16,
         )
         return span_conv_apply(k, f, c, v, w_j, plan, T), plan.n_overflow
 

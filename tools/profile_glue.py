@@ -93,7 +93,7 @@ def main():
             jax.jit(
                 lambda s, f=fin: make_span_plan(
                     s.keys, s.coords, s.valid, _K3_BLOCK, in_dims=dims[f],
-                    bs=128, span=256, jbcap=128 if f == 4 else 48, jwin=2,
+                    bs=128, span=256, slots=1024, gwin=16,
                 )
             ),
             (s_in,), f"motion plan blocks L{fin}",
@@ -111,7 +111,7 @@ def main():
                 lambda si, so, f=fin, fo=fout: make_span_plan(
                     si.keys, so.coords, so.valid, _K3_DOWN, stride3=_S2,
                     pad3=_P0, in_dims=dims[f], bs=128, span=256,
-                    jbcap=256 if fo == 8 else 96, jwin=3,
+                    slots=1024, gwin=16,
                 )
             ),
             (s_in, nxt), f"motion plan down L{fin}->L{fout}",
@@ -121,7 +121,7 @@ def main():
         jax.jit(
             lambda s: make_span_plan(
                 s.keys, s.coords, s.valid, _K3_BLOCK, in_dims=dims[8],
-                bs=128, span=384, jbcap=64, jwin=2,
+                bs=128, span=384, slots=512, gwin=16,
             )
         ),
         (slabs[8],), "motion plan blocks L8",
@@ -130,7 +130,7 @@ def main():
         jax.jit(
             lambda s: make_span_plan(
                 s.keys, s.coords, s.valid, _K3_STEM, in_dims=dims[1],
-                span=256, jbcap=128, jwin=3,
+                span=256, slots=1024, gwin=16,
             )
         ),
         (s1,), "motion plan stem (5x5 G25)",
@@ -180,7 +180,7 @@ def main():
             jax.jit(
                 lambda s, f=fin: make_span_plan(
                     s.keys, s.coords, s.valid, _K3, in_dims=udims[f],
-                    bs=128, span=256, jbcap=96 if f == 4 else 48, jwin=2,
+                    bs=128, span=256, slots=1024, gwin=16,
                 )
             ),
             (s_in,), f"unet plan blocks s{fin}",
@@ -202,7 +202,7 @@ def main():
                     si.keys, so.coords, so.valid, _K3, stride3=_S2, pad3=_P1,
                     in_dims=udims[f], bs=128,
                     span=384 if st == 8 else 256,
-                    jbcap=112 if st == 8 else 80, jwin=3,
+                    slots=1024, gwin=16,
                 )
             ),
             (s_in, nxt), f"unet plan down s{fin}->s{stride}",

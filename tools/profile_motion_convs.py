@@ -111,7 +111,7 @@ def main():
         tables[fin] = jax.jit(
             lambda s, f=fin: make_span_plan(
                 s.keys, s.coords, s.valid, _K3_BLOCK, in_dims=dims[f],
-                bs=128, span=256, jbcap=128 if f == 4 else 48, jwin=2,
+                bs=128, span=256, slots=1024, gwin=16,
             )
         )(s_in)
         nxt = jax.jit(
@@ -123,7 +123,7 @@ def main():
             lambda si, so, f=fin, fo=fout: make_span_plan(
                 si.keys, so.coords, so.valid, _K3_DOWN, stride3=_S2, pad3=_P0,
                 in_dims=dims[f], bs=128, span=256,
-                jbcap=256 if fo == 8 else 96, jwin=3,
+                slots=1024, gwin=16,
             )
         )(s_in, nxt)
         slabs[fout] = nxt
@@ -131,7 +131,7 @@ def main():
     tables[8] = jax.jit(
         lambda s: make_span_plan(
             s.keys, s.coords, s.valid, _K3_BLOCK, in_dims=dims[8], bs=128,
-            span=384, jbcap=64, jwin=2,
+            span=384, slots=512, gwin=16,
         )
     )(s8)
     parent_idx = {}

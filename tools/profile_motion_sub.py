@@ -77,7 +77,7 @@ def main():
             (slabs[fin],), f"derive_strided_sites L{fin}->L{fout}",
         )
 
-    for name, f, k3, span, bsz, jb, jw in (
+    for name, f, k3, span, bsz, jb, jw in (  # jb/jw -> slots/gwin
         ("plan stem 5^3", 1, _K3_STEM, 256, 128, 128, 2),
         ("plan L1 3^3", 1, _K3_BLOCK, 256, 128, 48, 2),
         ("plan L2 3^3", 2, _K3_BLOCK, 256, 128, 48, 2),
@@ -91,7 +91,7 @@ def main():
                 lambda s, k3=k3, dims=dims, span=span, bsz=bsz, jb=jb, jw=jw:
                 make_span_plan(
                     s.keys, s.coords, s.valid, k3, in_dims=dims, span=span,
-                    bs=bsz, jbcap=jb, jwin=jw,
+                    bs=bsz, slots=max(8 * jb, 256), gwin=16,
                 ).sb
             ),
             (s,), name,
@@ -105,7 +105,7 @@ def main():
                 lambda si, so, dims_o=dims_o: make_span_plan(
                     si.keys, so.coords, so.valid, _K3_DOWN, stride3=_S2,
                     pad3=_P0, in_dims=_level_dims(dims1, fin) if fin > 1 else dims1,
-                    span=256, bs=128, jbcap=160 if fout == 8 else 96, jwin=3,
+                    span=256, bs=128, slots=1024, gwin=16,
                 ).sb
             ),
             (s_in, slabs[fout]), f"plan down L{fin}->L{fout}",

@@ -129,7 +129,7 @@ def main():
         if use_span:
             return make_span_plan(
                 slab.keys, slab.coords, slab.valid, _K3_STEM, in_dims=dims1,
-                span=256, jbcap=128, jwin=2,
+                span=256, slots=1024, gwin=16,
             )
         return window_tables(
             site_grid(slab), dims1, slab.coords, slab.valid, _K3_STEM,

@@ -90,7 +90,7 @@ def main():
             try:
                 plan = make_span_plan(
                     s.keys, s.coords, s.valid, k3, in_dims=dims,
-                    span=span, bs=bs, jbcap=max(32, 4096 // bs // 8), jwin=2,
+                    span=span, bs=bs, jbcap=max(32, 4096 // bs // 8), gwin=16,
                 )
                 ovf = int(plan.n_overflow)
                 run = jax.jit(
