@@ -142,6 +142,19 @@ def make_stream(cfg, n_steps: int, seed: int = 0):
     from insmos_tpu.data.hdl64 import _make_world, raycast_scan
     from insmos_tpu.pipeline import fixed_frame_transform
 
+    # INSMOS_BENCH_GEN=synthetic: the old gaussian-world generator with a
+    # static ego (identity transforms) — kept for A/B attribution of
+    # distribution-driven deltas; the headline uses the certified fixture
+    if os.environ.get("INSMOS_BENCH_GEN") == "synthetic":
+        seq = make_window(cfg, seed=seed, n_scans=n_steps)
+        scans = [seq["points"][i] for i in range(n_steps)]
+        ns = [np.int32(seq["num_points"][i]) for i in range(n_steps)]
+        eye = np.eye(4, dtype=np.float32)
+        return (
+            scans, ns, [eye] * n_steps,
+            [np.zeros((3,), np.int32)] * n_steps,
+        )
+
     rng = np.random.default_rng(seed)
     world = _make_world(rng)
     ego_speed = np.array([1.1, 0.05])  # m per scan step (~11 m/s at 10 Hz)

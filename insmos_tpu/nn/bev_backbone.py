@@ -11,7 +11,11 @@ import jax.numpy as jnp
 from ..config import Config
 from .layers import batch_norm, conv2d, conv2d_transpose, init_bn, init_conv2d, relu
 
-_BN = {"momentum": 0.01, "eps": 1e-3}
+def _bn_of(cfg):
+    return {
+        "momentum": min(1.0, 0.01 * cfg.train.bn_momentum_scale),
+        "eps": 1e-3,
+    }
 
 
 def init_bev_backbone(key, cfg: Config):
@@ -55,14 +59,14 @@ def bev_backbone_forward(params, state, cfg: Config, bev, *, train: bool):
         ):
             stride = b.layer_strides[lvl] if k == 0 else 1
             x = conv2d(cp, x, stride=stride, padding="SAME")
-            x, s2 = batch_norm(bp, bs, x, train=train, **_BN)
+            x, s2 = batch_norm(bp, bs, x, train=train, **_bn_of(cfg))
             x = relu(x)
             new_bns.append(s2)
         ns["blocks"].append({"bns": new_bns})
         dp = params["deblocks"][lvl]
         dstate = state["deblocks"][lvl]
         u = conv2d_transpose(dp["conv"], x, stride=b.upsample_strides[lvl])
-        u, s2 = batch_norm(dp["bn"], dstate["bn"], u, train=train, **_BN)
+        u, s2 = batch_norm(dp["bn"], dstate["bn"], u, train=train, **_bn_of(cfg))
         ups.append(relu(u))
         ns["deblocks"].append({"bn": s2})
     y = ups[0] if len(ups) == 1 else jnp.concatenate(ups, axis=-1)

@@ -69,7 +69,11 @@ def use_span_engine(cfg: Config, train: bool) -> bool:
     return (not train) and jax.default_backend() != "cpu"
 
 
-_BN = {"momentum": 0.1, "eps": 1e-5}  # MinkowskiEngine BatchNorm defaults
+def _bn_of(cfg):  # MinkowskiEngine BatchNorm defaults, cfg-scalable
+    return {
+        "momentum": min(1.0, 0.1 * cfg.train.bn_momentum_scale),
+        "eps": 1e-5,
+    }
 
 _K_STEM = (5, 5, 5, 1)
 _K_DOWN = (2, 2, 2, 1)
@@ -158,7 +162,7 @@ def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
     if span:
         ntbl = make_span_plan(
             nslab.keys, nslab.coords, nslab.valid, _K3_STEM, in_dims=dims1,
-            span=256, slots=8192, gwin=48, pairs=4096,
+            span=256, slots=4096, gwin=48, pairs=2048,
         )
         stats["span_overflow"].append(ntbl.n_overflow)
     else:
@@ -245,7 +249,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
 
     stats = {"sites": [n1], "dropped": [drop1]}
     ns = {}
-    bn = dict(bn_args=_BN, train=train)
+    bn = dict(bn_args=_bn_of(cfg), train=train)
 
     # ---- per-level site derivation, grids, tables/plans --------------
     span = use_span_engine(cfg, train)
@@ -280,13 +284,15 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                 dict(
                     out_coords=s_in.coords, out_valid=s_in.valid,
                     kernel3=_K3_BLOCK, in_dims=dims[fin], bs=128, span=256,
-                    slots=8192, gwin=48, pairs=4096,
+                    slots={1: 6144, 2: 2048, 4: 1024}[fin], gwin=48,
+                    pairs={1: 3072, 2: 1024, 4: 512}[fin],
                 ),
                 dict(
                     out_coords=nxt.coords, out_valid=nxt.valid,
                     kernel3=_K3_DOWN, stride3=_S2, pad3=_P0,
                     in_dims=dims[fin], bs=128, span=256,
-                    slots=8192, gwin=48, pairs=4096,
+                    slots={2: 4096, 4: 2048, 8: 1024}[fout], gwin=48,
+                    pairs={2: 2048, 4: 1024, 8: 512}[fout],
                 ),
             ]
             if fin == 1 and stem_cache is None:
@@ -296,7 +302,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                     dict(
                         out_coords=s_in.coords, out_valid=s_in.valid,
                         kernel3=_K3_STEM, in_dims=dims[fin], span=256,
-                        slots=16384, gwin=64, pairs=8192,
+                        slots=12288, gwin=64, pairs=4096,
                     )
                 )
             plans = make_span_plans(s_in.keys, reqs)
@@ -324,7 +330,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
     tables[8] = (
         make_span_plan(
             s8.keys, s8.coords, s8.valid, _K3_BLOCK, in_dims=dims[8],
-            bs=128, span=384, slots=8192, gwin=48, pairs=4096,
+            bs=128, span=384, slots=256, gwin=32,
         )
         if span
         else window_tables(

@@ -42,7 +42,11 @@ from .blocks import init_basic_block, init_conv_bn
 from .blocks_slab import basic_block_slab, cat_slab, subm_block_slab
 from .layers import batch_norm, init_linear, relu
 
-_BN = {"momentum": 0.01, "eps": 1e-3}  # reference norm_fn (spconv_unet.py:118)
+def _bn_of(cfg):  # reference norm_fn (spconv_unet.py:118), cfg-scalable
+    return {
+        "momentum": min(1.0, 0.01 * cfg.train.bn_momentum_scale),
+        "eps": 1e-3,
+    }
 _K3 = (3, 3, 3)
 _S2 = (2, 2, 2)
 _P1 = (1, 1, 1)
@@ -102,25 +106,25 @@ def _channel_reduction(feats, cout: int):
     return feats.reshape(n, cout, cin // cout).sum(axis=2)
 
 
-def _inverse_block(p, s, ns, name, coarse: Slab, fine_sites, pairs, kidx, *, train):
+def _inverse_block(p, s, ns, name, coarse: Slab, fine_sites, pairs, kidx, *, cfg, train):
     """Inverse conv (pairs replay) + BN + ReLU, slab-wrapped."""
     y = inverse_conv_pairs(
         sparse_from_slab(coarse), p[name]["conv"]["w"], fine_sites, pairs, kidx
     )
     f, bn_s = batch_norm(
-        p[name]["bn"], s[name]["bn"], y.feats, train=train, mask=y.valid, **_BN
+        p[name]["bn"], s[name]["bn"], y.feats, train=train, mask=y.valid, **_bn_of(cfg)
     )
     ns[name] = {"bn": bn_s}
     return slab_from_sparse(y.replace_feats(relu(f) * y.valid[:, None]))
 
 
 def _ur_block(params, state, ns, names, lat: Slab, bot: Slab, table, fine_sites,
-              pairs=None, *, train, last=False):
+              pairs=None, *, cfg, train, last=False):
     """UR_block_forward (spconv_unet.py:213-221): lateral residual fusion;
     the trailing inverse conv restores the next finer site set (or stays a
     subm conv at the last level)."""
     t_name, m_name, inv_name = names
-    bn = dict(bn_args=_BN, train=train)
+    bn = dict(bn_args=_bn_of(cfg), train=train)
     x_t, ns[t_name] = basic_block_slab(
         params[t_name], state[t_name], lat, _K3, table, **bn
     )
@@ -138,7 +142,8 @@ def _ur_block(params, state, ns, names, lat: Slab, bot: Slab, table, fine_sites,
         return out
     prs, kis = pairs
     return _inverse_block(
-        params, state, ns, inv_name, fused, fine_sites, prs, kis, train=train
+        params, state, ns, inv_name, fused, fine_sites, prs, kis, cfg=cfg,
+        train=train
     )
 
 
@@ -156,7 +161,7 @@ def unet3d_forward(
     gx, gy, gz = cfg.data.grid_size
     caps = mc.unet_capacities
     ns = {}
-    bn = dict(bn_args=_BN, train=train)
+    bn = dict(bn_args=_bn_of(cfg), train=train)
 
     cdiv = lambda a, b: -(-a // b)
     dims = {s: (cdiv(gx, s), cdiv(gy, s), cdiv(gz, s)) for s in (1, 2, 4, 8)}
@@ -192,14 +197,16 @@ def unet3d_forward(
                     dict(
                         out_coords=s_in.coords, out_valid=s_in.valid,
                         kernel3=_K3, in_dims=dims[fin], bs=128, span=256,
-                        slots=4096, gwin=48, pairs=2048,
+                        slots={1: 1536, 2: 1024, 4: 512}[fin], gwin=48,
+                        pairs={1: 768, 2: 512, 4: 256}[fin],
                     ),
                     dict(
                         out_coords=nxt.coords, out_valid=nxt.valid,
                         kernel3=_K3, stride3=_S2, pad3=_P1,
                         in_dims=dims[fin], bs=128,
                         span=384 if stride == 8 else 256,
-                        slots=4096, gwin=48, pairs=2048,
+                        slots=2048 if stride < 8 else 1024, gwin=48,
+                        pairs=1024 if stride < 8 else 512,
                     ),
                 ],
             )
@@ -227,12 +234,12 @@ def unet3d_forward(
             [
                 dict(
                     out_coords=s8.coords, out_valid=s8.valid, kernel3=_K3,
-                    in_dims=dims[8], bs=128, span=384, slots=4096, gwin=48, pairs=2048,
+                    in_dims=dims[8], bs=128, span=384, slots=128, gwin=32,
                 ),
                 dict(
                     out_coords=sites_out.coords, out_valid=sites_out.valid,
                     kernel3=_KZ, stride3=_SZ, pad3=_PZ, in_dims=dims[8],
-                    bs=128, span=384, slots=2048, gwin=48, pairs=1024,
+                    bs=128, span=384, slots=512, gwin=32, pairs=256,
                 ),
             ],
         )
@@ -323,22 +330,22 @@ def unet3d_forward(
     y, _ = fuse(y, 8, "fuse4")
     x_up4 = _ur_block(
         params, state, ns, ("up_t4", "up_m4", "inv4"), y, y, tables[8],
-        level_sites[4].sites(), pair_maps[8], train=train,
+        level_sites[4].sites(), pair_maps[8], cfg=cfg, train=train,
     )
     y, _ = fuse(x_up4, 4, "fuse3")
     x_up3 = _ur_block(
         params, state, ns, ("up_t3", "up_m3", "inv3"), enc[4], y, tables[4],
-        level_sites[2].sites(), pair_maps[4], train=train,
+        level_sites[2].sites(), pair_maps[4], cfg=cfg, train=train,
     )
     y, _ = fuse(x_up3, 2, "fuse2")
     x_up2 = _ur_block(
         params, state, ns, ("up_t2", "up_m2", "inv2"), enc[2], y, tables[2],
-        level_sites[1].sites(), pair_maps[2], train=train,
+        level_sites[1].sites(), pair_maps[2], cfg=cfg, train=train,
     )
     y, inst1 = fuse(x_up2, 1, "fuse1")
     x_up1 = _ur_block(
         params, state, ns, ("up_t1", "up_m1", "up_out"), enc[1], y, tables[1],
-        None, train=train, last=True,
+        None, cfg=cfg, train=train, last=True,
     )
 
     # final fusion reuses the stride-1 instance features (spconv_unet.py:401)

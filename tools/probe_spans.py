@@ -144,7 +144,8 @@ def main():
 
     # ---- per-plan interval stats --------------------------------------
     print(f"{'plan':18s} {'Vout':>8s} {'jump':>6s} {'exact':>8s} "
-          f"{'p99':>6s} {'p999':>6s} {'max':>7s} {'span0':>6s} cfg_span")
+          f"{'slots':>6s} {'p99':>6s} {'p999':>6s} {'max':>7s} "
+          f"{'span0':>6s} cfg_span")
 
     def intervals(x_keys, out_coords, out_valid, k3, s3, p3, in_dims, bs):
         kx = int(k3[0])
@@ -198,15 +199,17 @@ def main():
         plan = make_span_plan(
             xs.keys, os_.coords, os_.valid, k3,
             stride3=s3, pad3=p3, in_dims=in_dims, span=span, bs=bs,
-            exact_stats=True,
+            slots=16384, gwin=64, pairs=8192,
         )
         exact = int(plan.n_overflow)
+        slots_used = int((np.asarray(plan.gs)[1] >= 0).sum())
         p99 = int(np.percentile(flat, 99)) if flat.size else 0
         p999 = int(np.percentile(flat, 99.9)) if flat.size else 0
         mx = int(flat.max()) if flat.size else 0
         span0 = -(-mx // 16) * 16
         print(f"{name:18s} {int(np.asarray(os_.valid).sum()):>8d} {jump:>6d} "
-              f"{exact:>8d} {p99:>6d} {p999:>6d} {mx:>7d} {span0:>6d} {span}")
+              f"{exact:>8d} {slots_used:>6d} {p99:>6d} {p999:>6d} {mx:>7d} "
+              f"{span0:>6d} {span}", flush=True)
 
 
 if __name__ == "__main__":
