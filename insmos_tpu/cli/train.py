@@ -22,7 +22,9 @@ from ..data.kitti import KittiWindowDataset
 from ..data.loader import iter_batches
 from ..nn.model import InsMOSModel
 from ..parallel import data_mesh_for_batch, replicate, shard_batch
-from ..train import TrainState, make_eval_step, make_train_step
+from ..train import (
+    TrainState, make_bn_reestimate, make_eval_step, make_train_step,
+)
 from ..train.metrics import iou_from_confusion
 from ..train.optim import make_optimizer
 from ..utils.checkpoint import best_checkpoint_manager, load_checkpoint
@@ -70,6 +72,13 @@ def parse_args(argv=None):
     p.add_argument("--out", type=str, default="runs/insmos")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument(
+        "--bn_reest", type=int, default=0,
+        help="re-estimate BN running stats from this many train batches "
+        "at the end of every epoch (momentum-1 forwards, averaged) — "
+        "use on short schedules where the reference momenta cannot "
+        "converge the EMA (see train/step.make_bn_reestimate)",
+    )
     return p.parse_args(argv)
 
 
@@ -110,6 +119,7 @@ def run(args):
     )
     train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
+    bn_step = make_bn_reestimate(model) if args.bn_reest else None
     logger = ScalarLogger(args.out)
     ckpt_mgr = best_checkpoint_manager(os.path.join(args.out, "ckpt"))
 
@@ -136,6 +146,24 @@ def run(args):
                 )
         train_iou = float(np.asarray(iou_from_confusion(jnp.asarray(cm)))[2])
         logger.log(int(ts.step), train_mos_iou_step=train_iou)
+
+        if bn_step is not None:
+            sstats, k = None, 0
+            for batch in batches(
+                train_ds, bsz, cfg.data.shuffle,
+                seed=args.seed * 7919 + epoch,
+                num_workers=cfg.data.num_workers,
+            ):
+                sb = bn_step(ts.params, ts.state, shard_batch(mesh, batch))
+                sstats = (
+                    sb if sstats is None
+                    else jax.tree.map(jnp.add, sstats, sb)
+                )
+                k += 1
+                if k >= args.bn_reest:
+                    break
+            new_state = jax.tree.map(lambda a: a / k, sstats)
+            ts = TrainState(ts.params, new_state, ts.opt_state, ts.step)
 
         # ---- validation ----
         vcm = np.zeros((3, 3), np.int64)

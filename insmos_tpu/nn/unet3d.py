@@ -109,7 +109,8 @@ def _channel_reduction(feats, cout: int):
 def _inverse_block(p, s, ns, name, coarse: Slab, fine_sites, pairs, kidx, *, cfg, train):
     """Inverse conv (pairs replay) + BN + ReLU, slab-wrapped."""
     y = inverse_conv_pairs(
-        sparse_from_slab(coarse), p[name]["conv"]["w"], fine_sites, pairs, kidx
+        sparse_from_slab(coarse), p[name]["conv"]["w"], fine_sites, pairs,
+        kidx, kernel_size=_K3, stride=_S2, pad=_P1,
     )
     f, bn_s = batch_norm(
         p[name]["bn"], s[name]["bn"], y.feats, train=train, mask=y.valid, **_bn_of(cfg)
@@ -297,6 +298,7 @@ def unet3d_forward(
     sparse_inv = inverse_conv_pairs(
         sparse_from_slab(encoded), params["inv_conv_out"]["conv"]["w"],
         level_sites[8].sites(), prs_out, kis_out,
+        kernel_size=_KZ, stride=_SZ, pad=_PZ,
     )
     y = slab_from_sparse(sparse_inv.replace_feats(sparse_inv.masked_feats()))
 

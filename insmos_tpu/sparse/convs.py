@@ -243,14 +243,79 @@ def strided_conv_pairs(
 
 
 def inverse_conv_pairs(
-    coarse: SparseTensor, weight, fine_sites: SparseTensor, pairs, kidx
+    coarse: SparseTensor, weight, fine_sites: SparseTensor, pairs, kidx,
+    kernel_size=None, stride=None, pad=None,
 ) -> SparseTensor:
     """Exact inverse of the paired strided conv: gather each fine site's
-    coarse parents (the transposed pairs) and apply the same kernel-position
-    weights — zero lookups (spconv SparseInverseConv3d semantics)."""
+    coarse parents (the transposed pairs) and apply the same
+    kernel-position weights — zero lookups (spconv SparseInverseConv3d
+    semantics).
+
+    With (kernel_size, stride, pad) the PARITY-GROUPED path runs: for a
+    fixed candidate slot c, the kernel position is a static function of
+    the fine coordinate's per-dim parity (delta_d = (i_d + p_d) mod s_d
+    + s_d * cand_d — see strided_conv_sites), so instead of
+    materializing every coarse voxel's (K, Cout) projections (lane-padded
+    to ~1 GB at L1 scale) and gathering (V*Kc) rows out of it — measured
+    ~40 ms/step on a v5e (PERF.md round-4 trace) — we gather the (V, Cin)
+    parent FEATURES per candidate (a 100x smaller table) and fold the
+    parity selection into one (V, NP*Cin) @ (NP*Cin, Cout) matmul per
+    candidate. Without the geometry kwargs the general gather path runs
+    (any pairing, tools/tests)."""
     K, cin, cout = weight.shape
     V, Kc = pairs.shape
     feats = jnp.where(coarse.valid[:, None], coarse.feats, 0.0).astype(weight.dtype)
+
+    if stride is not None:
+        D = len(stride)
+        per_dim = [int(np.ceil(k / s)) for k, s in zip(kernel_size, stride)]
+        cand_ranges = [np.arange(c, dtype=np.int32) for c in per_dim]
+        mesh = np.meshgrid(*cand_ranges[::-1], indexing="ij")
+        cand = np.stack([m.reshape(-1) for m in mesh[::-1]], axis=-1)
+        assert cand.shape[0] == Kc, (cand.shape, Kc)
+        # static (NP, Kc) kernel-position table over fine-coord parities
+        NP = int(np.prod(stride))
+        pars = np.stack(
+            np.meshgrid(
+                *[np.arange(s, dtype=np.int32) for s in stride][::-1],
+                indexing="ij",
+            )[::-1],
+            axis=-1,
+        ).reshape(NP, D)
+        kid = np.zeros((NP, Kc), np.int32)
+        mult = 1
+        for d in range(D):
+            delta = pars[:, None, d] + stride[d] * cand[None, :, d]
+            kid += np.clip(delta, 0, kernel_size[d] - 1) * mult
+            mult *= kernel_size[d]
+        # per-site flat parity
+        pmod = (
+            fine_sites.coords + jnp.asarray(pad, jnp.int32)[None]
+        ) % jnp.asarray(stride, jnp.int32)[None]
+        par = jnp.zeros((V,), jnp.int32)
+        m = 1
+        for d in range(D):
+            par = par + pmod[:, d] * m
+            m *= stride[d]
+        sel = jax.nn.one_hot(par, NP, dtype=weight.dtype)  # (V, NP)
+
+        fpad = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)])
+        out = jnp.zeros((V, cout), jnp.float32)
+        for c in range(Kc):
+            g = jnp.take(
+                fpad,
+                jnp.where(pairs[:, c] >= 0, pairs[:, c], fpad.shape[0] - 1),
+                axis=0,
+            )  # (V, cin)
+            wstack = weight[kid[:, c]].reshape(NP * cin, cout)
+            gp = (g[:, None, :] * sel[:, :, None]).reshape(V, NP * cin)
+            out = out + jnp.matmul(
+                gp, wstack, preferred_element_type=jnp.float32,
+                precision="highest",
+            )
+        out = out * fine_sites.valid[:, None]
+        return fine_sites.replace_feats(out)
+
     proj = jnp.einsum(
         "vc,kcd->vkd", feats, weight,
         preferred_element_type=jnp.float32, precision="highest",

@@ -317,3 +317,50 @@ def test_to_dense_bev_layout(rng):
     # voxel (x=1, y=0, z=1): channels c*Z + 1 -> [1., 2.] at positions 1, 3
     np.testing.assert_allclose(bev[0, 1], [0, 1, 0, 2])
     np.testing.assert_allclose(bev[1, 2], [3, 0, 4, 0])
+
+
+def test_inverse_parity_path_matches_general():
+    """The parity-grouped inverse (kernel/stride/pad kwargs) must equal
+    the general gather path bit-for-bit on both production geometries
+    (k3s2p1 down convs; z-only (1,1,3)s(1,1,2)p0 conv_out inverse)."""
+    import numpy as np
+
+    from insmos_tpu.sparse.convs import (
+        inverse_conv_pairs, strided_conv_sites,
+    )
+    from insmos_tpu.sparse.voxelize import unique_voxels
+
+    rng = np.random.default_rng(17)
+    for k3, s3, p3, dims in (
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1), (20, 16, 12)),
+        ((1, 1, 3), (1, 1, 2), (0, 0, 0), (20, 16, 12)),
+    ):
+        n, cap = 900, 1024
+        coords = np.stack(
+            [rng.integers(0, d, n) for d in dims], -1
+        ).astype(np.int32)
+        fine, _, _, _ = unique_voxels(
+            jnp.asarray(coords), dims, cap,
+            point_valid=jnp.ones((n,), bool),
+        )
+        out_dims = tuple(-(-d // s) for d, s in zip(dims, s3))
+        coarse, pairs, kidx = strided_conv_sites(
+            fine, k3, s3, p3, out_dims, cap, with_pairs=True
+        )
+        cin, cout = 6, 5
+        K = int(np.prod(k3))
+        w = jnp.asarray(
+            rng.normal(size=(K, cin, cout)).astype(np.float32)
+        )
+        csp = coarse.sites()
+        csp = csp.replace_feats(
+            jnp.asarray(rng.normal(size=(csp.capacity, cin)).astype(np.float32))
+        )
+        ref = inverse_conv_pairs(csp, w, fine, pairs, kidx)
+        got = inverse_conv_pairs(
+            csp, w, fine, pairs, kidx, kernel_size=k3, stride=s3, pad=p3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.feats), np.asarray(ref.feats),
+            atol=1e-4, rtol=1e-4,
+        )

@@ -73,7 +73,13 @@ def main():
     cfg = _bench_cfg()
     mc = cfg.model.motionnet
     params, state = init_motionnet(jax.random.PRNGKey(0), cfg)
-    sample = make_window(cfg)
+    import os
+    if os.environ.get("INSMOS_PROBE_GEN", "hdl64") == "hdl64":
+        from insmos_tpu.data.hdl64 import make_hdl64_window
+
+        sample = make_hdl64_window(cfg)
+    else:
+        sample = make_window(cfg)
     W, P = sample["points"].shape[:2]
     pv = (
         np.arange(P)[None, :] < sample["num_points"][:, None]

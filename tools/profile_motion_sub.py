@@ -44,7 +44,13 @@ def main():
 
     cfg = _bench_cfg()
     mc = cfg.model.motionnet
-    sample = make_window(cfg)
+    import os
+    if os.environ.get("INSMOS_PROBE_GEN", "hdl64") == "hdl64":
+        from insmos_tpu.data.hdl64 import make_hdl64_window
+
+        sample = make_hdl64_window(cfg)
+    else:
+        sample = make_window(cfg)
     W, P = sample["points"].shape[:2]
     pv = (
         np.arange(P)[None, :] < sample["num_points"][:, None]
@@ -88,10 +94,17 @@ def main():
         dims = _level_dims(dims1, f) if f > 1 else dims1
         timeit(
             jax.jit(
-                lambda s, k3=k3, dims=dims, span=span, bsz=bsz, jb=jb, jw=jw:
+                lambda s, k3=k3, dims=dims, span=span, bsz=bsz, name=name, f=f:
                 make_span_plan(
                     s.keys, s.coords, s.valid, k3, in_dims=dims, span=span,
-                    bs=bsz, slots=max(8 * jb, 256), gwin=16,
+                    bs=bsz,
+                    slots={"plan stem 5^3": 12288, "plan L1 3^3": 6144,
+                           "plan L2 3^3": 2048, "plan L4 3^3": 1024,
+                           "plan L8 3^3": 256}[name],
+                    gwin=64 if f == 1 else 48,
+                    pairs={"plan stem 5^3": 4096, "plan L1 3^3": 3072,
+                           "plan L2 3^3": 1024, "plan L4 3^3": 512,
+                           "plan L8 3^3": 256}[name],
                 ).sb
             ),
             (s,), name,
@@ -105,7 +118,9 @@ def main():
                 lambda si, so, dims_o=dims_o: make_span_plan(
                     si.keys, so.coords, so.valid, _K3_DOWN, stride3=_S2,
                     pad3=_P0, in_dims=_level_dims(dims1, fin) if fin > 1 else dims1,
-                    span=256, bs=128, slots=1024, gwin=16,
+                    span=256, bs=128,
+                    slots={2: 4096, 4: 2048, 8: 1024}[fout], gwin=48,
+                    pairs={2: 2048, 4: 1024, 8: 512}[fout],
                 ).sb
             ),
             (s_in, slabs[fout]), f"plan down L{fin}->L{fout}",

@@ -46,6 +46,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import os
+
     from bench import _bench_cfg, make_window
     from insmos_tpu.nn.model import InsMOSModel
     from insmos_tpu.nn.minkunet4d import motionnet_forward
@@ -57,7 +59,12 @@ def main():
     cfg = _bench_cfg()
     model = InsMOSModel(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
-    sample = make_window(cfg)
+    if os.environ.get("INSMOS_PROBE_GEN", "hdl64") == "hdl64":
+        from insmos_tpu.data.hdl64 import make_hdl64_window
+
+        sample = make_hdl64_window(cfg)
+    else:
+        sample = make_window(cfg)
     W, P = sample["points"].shape[:2]
     point_valid = (
         jnp.arange(P)[None, :] < jnp.asarray(sample["num_points"])[:, None]
