@@ -67,7 +67,14 @@ class MotionNetConfig:
     # pose-aligned 10x122k window: 430k / 281k / 146k / 50k union sites;
     # capacities carry 15-35% headroom and overflow is COUNTED (stats),
     # never silent.
-    site_capacities: tuple[int, ...] = (524_288, 327_680, 196_608, 65_536)
+    # Sized from the HDL-64E raycast fixture's per-level site unions over
+    # seeds (max L1 262k / L2 100k / L4 35k / L8 11.3k — tools/probe, 2026-08)
+    # at 1.3-1.5x headroom: every XLA glue pass (BN, masking, gathers,
+    # derivations) scales with CAPACITY, not live sites, so oversized caps
+    # tax the whole step. Overflows are counted and hard-gated (bench.py
+    # fails loudly), so an out-of-distribution scene degrades visibly, not
+    # silently. L1/L2 are multiples of conv_chunk for the window engine.
+    site_capacities: tuple[int, ...] = (393_216, 131_072, 49_152, 16_384)
 
     @property
     def grid_size(self) -> tuple[int, int, int]:
@@ -134,9 +141,13 @@ class ModelConfig:
     max_points_per_voxel: int = 5
     # capacities of derived voxel sets: voxelizer (reference caps at 100k,
     # models/models.py:287), strided conv outputs at strides 2/4/8, and the
-    # z-downsampled encoded tensor. Strided 3D downsampling dilates before it
-    # shrinks (measured ~105k / 77k at strides 2/4 from a 100k scan).
-    unet_capacities: tuple[int, ...] = (100_000, 106_496, 77_824, 36_864, 24_576)
+    # z-downsampled encoded tensor. Strided 3D downsampling dilates before
+    # it shrinks (spconv SparseConv3d output-site semantics); sized from the
+    # HDL-64E fixture's measured DERIVED counts (L2 48.4k / L4 22.2k /
+    # L8 9.6k via strided_conv_sites, +15% seed spread) at ~1.5x headroom.
+    # Overflows are counted and hard-gated, so an out-of-distribution scene
+    # fails loudly instead of silently truncating.
+    unet_capacities: tuple[int, ...] = (100_000, 81_920, 40_960, 18_432, 12_288)
     motionnet: MotionNetConfig = field(default_factory=MotionNetConfig)
     bev: BEVConfig = field(default_factory=BEVConfig)
     head: HeadConfig = field(default_factory=HeadConfig)

@@ -11,7 +11,7 @@ from insmos_tpu.ops.iou3d import (
     boxes_to_corners_bev,
     rotated_overlap_bev,
 )
-from insmos_tpu.ops.nms import greedy_nms
+from insmos_tpu.ops.nms import greedy_nms, greedy_nms_chunked
 from insmos_tpu.ops.points_in_boxes import (
     box_class_features,
     points_in_instance_boxes,
@@ -127,6 +127,40 @@ def test_nms_matches_oracle(rng):
         )
         got = np.asarray(keep_idx)[np.asarray(keep_mask)]
         np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.slow
+def test_nms_chunked_matches_oracle(rng):
+    """The chunked bitmask form implements the same suppress-by-earlier-
+    keeper greedy as the while-loop form and the numpy oracle — exercised
+    past one chunk (n > 128) so cross-chunk suppression and the early-exit
+    cond both run."""
+    for trial in range(3):
+        n = 300
+        boxes = _rand_boxes(np.random.default_rng(trial), n)
+        scores = np.sort(
+            np.random.default_rng(50 + trial).uniform(0.01, 1.0, n)
+        )[::-1].copy()
+        perm = np.random.default_rng(trial).permutation(n)
+        boxes, scores = boxes[perm], scores[perm]
+        expected = _np_greedy_nms(boxes, scores, 0.1)
+        keep_idx, keep_mask = greedy_nms_chunked(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), 0.1, n
+        )
+        got = np.asarray(keep_idx)[np.asarray(keep_mask)]
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_nms_chunked_respects_valid_and_max_out():
+    boxes = np.tile(np.array([[0.0, 0, 0, 2, 2, 1, 0]]), (8, 1))
+    boxes[:, 0] = np.arange(8) * 10.0
+    scores = np.linspace(1, 0.3, 8)
+    valid = np.array([True, False] * 4)
+    keep_idx, keep_mask = greedy_nms_chunked(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.01, 3
+    )
+    got = np.asarray(keep_idx)[np.asarray(keep_mask)]
+    np.testing.assert_array_equal(got, [0, 2, 4])
 
 
 def test_nms_respects_valid_and_max_out():

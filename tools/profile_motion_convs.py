@@ -49,7 +49,6 @@ def main():
         subm_block_slab,
     )
     from insmos_tpu.nn.minkunet4d import (
-        _BN,
         _K3_BLOCK,
         _K3_DOWN,
         _K3_STEM,
@@ -94,7 +93,7 @@ def main():
     dims1 = mc.grid_size
     caps = mc.site_capacities
     pvf = jnp.asarray(pv.reshape(-1))
-    bn = dict(bn_args=_BN, train=False)
+    bn = dict(bn_args={"momentum": 0.1, "eps": 1e-5}, train=False)
     chunk = cfg.runtime.conv_chunk
 
     s1 = jax.jit(lambda c, t, v: build_slab(c, t, v, dims1, W, caps[0])[0])(
