@@ -206,7 +206,11 @@ def _digest_and_gates(out):
     # 100k PointToVoxel cap (models/models.py:287) and is only reported.
     # sum over levels (axis -1); the vmapped run keeps the stream axis so
     # the gate reports a per-stream MAX, comparable with single-stream
-    motion_drop = jnp.sum(ovf["motion_dropped"], axis=-1)
+    # unet_dropped (post-voxelizer compaction overflow) is a pure deviation
+    # like the motion caps — fold it into the same hard-gated counter
+    motion_drop = jnp.sum(ovf["motion_dropped"], axis=-1) + ovf.get(
+        "unet_dropped", jnp.int32(0)
+    )
     vox_drop = ovf["voxelizer_dropped"]
     return digest, span_vec, motion_drop, vox_drop
 

@@ -75,6 +75,13 @@ class MotionNetConfig:
     # fails loudly), so an out-of-distribution scene degrades visibly, not
     # silently. L1/L2 are multiples of conv_chunk for the window engine.
     site_capacities: tuple[int, ...] = (393_216, 131_072, 49_152, 16_384)
+    # site capacity of the SINGLE-scan stem slab in the incremental
+    # streaming mode (_incremental_stem). Distinct from the point capacity:
+    # a ~125k-point HDL-64 scan occupies only ~48-55k voxels (fixture), so
+    # building this slab at the point capacity (131072) paid 2.4x dead rows
+    # through the stem conv + plan. Overflow is counted via build_slab's
+    # drop counter and hard-gated like every other capacity.
+    stem_scan_capacity: int = 65_536
 
     @property
     def grid_size(self) -> tuple[int, int, int]:
@@ -148,6 +155,13 @@ class ModelConfig:
     # Overflows are counted and hard-gated, so an out-of-distribution scene
     # fails loudly instead of silently truncating.
     unet_capacities: tuple[int, ...] = (100_000, 81_920, 40_960, 18_432, 12_288)
+    # post-voxelizer compaction: the voxelizer keeps the reference's 100k
+    # cap (drop-behavior parity), but actual HDL-64 scans occupy <=55k
+    # voxels in this crop, and sites are stored sorted-key with valid rows
+    # as a PREFIX — so the UNet's working set is a free slice to this
+    # capacity. Every downstream pass (pair maps, plans, convs, glue)
+    # scales with it. Sliced-off voxels are counted and hard-gated.
+    unet_site_capacity: int = 65_536
     motionnet: MotionNetConfig = field(default_factory=MotionNetConfig)
     bev: BEVConfig = field(default_factory=BEVConfig)
     head: HeadConfig = field(default_factory=HeadConfig)
@@ -315,6 +329,7 @@ class Config:
         mn = dataclasses.replace(
             self.model.motionnet,
             site_capacities=(4 * points, 2 * points, points, points),
+            stem_scan_capacity=points,
         )
         model = dataclasses.replace(
             self.model,
@@ -322,6 +337,7 @@ class Config:
             unet_capacities=(max_voxels,) + tuple(
                 max(256, max_voxels // (2**i)) for i in range(1, 5)
             ),
+            unet_site_capacity=max_voxels,
             motionnet=mn,
         )
         runtime = dataclasses.replace(self.runtime, max_points_per_scan=points)

@@ -147,13 +147,16 @@ def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
     cap0 = x.capacity
     C = params["stem"]["conv"]["w"].shape[-1]
 
-    # fresh T=1 stem over the new scan's own slab (~0.25x sites)
-    scan_cap = -(-cfg.runtime.max_points_per_scan // 128) * 128
+    # fresh T=1 stem over the new scan's own slab (~0.25x sites). Site
+    # capacity is the measured per-scan union (~48-55k voxels from a ~125k
+    # point scan), NOT the point capacity — see config stem_scan_capacity.
+    scan_cap = cfg.model.motionnet.stem_scan_capacity
     c3_new = coords3.reshape(W, P, 3)[W - 1]
     nslab, _, _, n_drop = build_slab(
         c3_new, jnp.zeros((P,), jnp.int32), point_valid[W - 1], dims1, 1,
         scan_cap,
     )
+    stats["dropped"].append(n_drop)
     nslab = nslab.replace_feats(
         (jnp.full((scan_cap, 1), 0.5, jnp.float32) * nslab.occ).astype(
             jnp.float32

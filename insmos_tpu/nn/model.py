@@ -83,6 +83,20 @@ class InsMOSModel:
             cfg.model.unet_capacities[0],
             cfg.model.max_points_per_voxel,
         )
+        # post-voxelizer compaction (config.py unet_site_capacity): sites
+        # are sorted-key with valid rows as a prefix, so the UNet working
+        # set is a free slice; sliced-off voxels are counted + hard-gated
+        cap_s = cfg.model.unet_site_capacity
+        unet_dropped = jnp.int32(0)
+        if cap_s < vox.capacity:
+            from ..sparse.tensor import SparseTensor
+
+            unet_dropped = jnp.sum(vox.valid[cap_s:]).astype(jnp.int32)
+            vox = SparseTensor(
+                vox.coords[:cap_s], vox.keys[:cap_s], vox.feats[:cap_s],
+                vox.valid[:cap_s], vox.dims,
+            )
+            p2v = jnp.where(p2v >= cap_s, -1, p2v)
 
         det: dict[str, Any] = {}
 
@@ -115,6 +129,9 @@ class InsMOSModel:
         overflow = {
             "motion_dropped": jnp.stack(motion_stats["dropped"]),
             "voxelizer_dropped": jnp.sum((p2v < 0) & cur_valid),
+            # compaction overflow (pure deviation -> hard-gated at 0;
+            # reference has no such cap): voxels beyond unet_site_capacity
+            "unet_dropped": unet_dropped,
         }
         # span-engine overflow: rows whose input span exceeded the kernel's
         # fetch window (contributions dropped — must be ~0 at ref scale)
