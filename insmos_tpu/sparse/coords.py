@@ -70,30 +70,23 @@ def lookup_keys(sorted_keys, query_keys):
     into sorted_keys, or -1 when absent. Padding rows (KEY_SENTINEL) never
     match because queries equal to the sentinel are rejected explicitly.
 
-    Hand-rolled fori_loop bisection: jnp.searchsorted's lowering is
+    Hand-rolled bisection: jnp.searchsorted's lowering is
     pathologically slow on some TPU runtimes (measured ~11 us/query on
     v5e-via-axon vs ~20 vectorized gathers here).
     """
-    import jax
-
     n = sorted_keys.shape[0]
-    # interval [0, n] has n+1 candidate answers -> ceil(log2(n+1)) steps
+    # interval [0, n] has n+1 candidate answers -> ceil(log2(n+1)) steps;
+    # statically unrolled — a lax.fori_loop here lowers to one HLO while
+    # per call site and the per-while overhead (~37 us) dwarfs the body
     steps = max(1, math.ceil(math.log2(n + 1)))
     q = query_keys
-
-    def body(_, lo_hi):
-        lo, hi = lo_hi
+    lo, hi = jnp.zeros_like(q), jnp.full_like(q, n)
+    for _ in range(steps):
         mid = (lo + hi) >> 1
         kv = jnp.take(sorted_keys, mid)
         right = kv < q
-        return jnp.where(right, mid + 1, lo), jnp.where(right, hi, mid)
-
-    lo, _ = jax.lax.fori_loop(
-        0,
-        steps,
-        body,
-        (jnp.zeros_like(q), jnp.full_like(q, n)),
-    )
+        lo = jnp.where(right, mid + 1, lo)
+        hi = jnp.where(right, hi, mid)
     idx = jnp.clip(lo, 0, n - 1)
     hit = (jnp.take(sorted_keys, idx) == q) & (q != KEY_SENTINEL)
     return jnp.where(hit, idx, -1).astype(jnp.int32)

@@ -87,14 +87,15 @@ def _bisect_search(keys, queries, n_iter):
     lo = jnp.zeros(queries.shape, jnp.int32)
     hi = jnp.full(queries.shape, keys.shape[0], jnp.int32)
 
-    def body(_, lohi):
-        lo, hi = lohi
+    # statically unrolled: n_iter is ~17-19 and the body is a few tiny ops,
+    # so a lax.fori_loop spends more in per-while overhead (~37 us each,
+    # ~700 of these per step) than in the search itself
+    for _ in range(n_iter):
         mid = (lo + hi) // 2
         v = jnp.take(keys, mid)
         less = v < queries
-        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
     return lo
 
 
