@@ -115,10 +115,14 @@ def unique_voxels(
         0,
     )
 
-    # per-point voxel id in original order
+    # per-point voxel id in original order: un-permute by SORTING on the
+    # original index instead of an inverse-permutation scatter — a 2-payload
+    # sort costs ~1.5 ms where the random-write scatter costs ~5-7 ms at
+    # pair-map scale (~20 ns/row, PERF.md platform facts)
     pt_out = jnp.where(group >= 0, jnp.take(out_rank, jnp.maximum(group, 0)), -1)
-    point_to_voxel = jnp.zeros((n,), jnp.int32).at[perm].set(pt_out)
-    point_slot = jnp.zeros((n,), jnp.int32).at[perm].set(slot_sorted)
+    _, point_to_voxel, point_slot = jax.lax.sort(
+        (perm, pt_out, slot_sorted), num_keys=1
+    )
 
     sites = SparseTensor(
         coords=vox_coords,
