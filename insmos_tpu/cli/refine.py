@@ -155,7 +155,8 @@ def refine_frame(mos, ids, boxes, labels, conf, frame_idx, attr_window, poses):
     return attrs
 
 
-def refine_sequence(seq_dir: str, pred_dir: str, out_dir: str, ss: str) -> None:
+def refine_sequence(seq_dir: str, pred_dir: str, out_dir: str, ss: str,
+                    n_past_steps: int = 10) -> None:
     sub = os.path.join("sequences", ss, "predictions")
     scan_paths = load_files(os.path.join(seq_dir, "velodyne"))
     bbox_paths = load_files(os.path.join(pred_dir, "bbox_preb", sub))
@@ -177,7 +178,8 @@ def refine_sequence(seq_dir: str, pred_dir: str, out_dir: str, ss: str) -> None:
         labels = np.asarray(pred["pred_labels"]).reshape(-1)
         mos = read_pred_labels(mos_paths[frame_idx]).astype(np.int32)
         conf = np.load(conf_paths[frame_idx]).reshape(-1, 2)
-        if frame_idx < 9:  # warm-up scans have no usable confidence
+        if frame_idx < n_past_steps - 1:
+            # warm-up scans (growing window) have no usable confidence
             conf = np.zeros((len(mos), 2))
 
         ids = car_instance_ids(scan, boxes, labels)
@@ -202,11 +204,22 @@ def parse_args(argv=None):
                    help="predict_mos output root incl. experiment id")
     p.add_argument("--out", type=str, default="preb_out_refine")
     p.add_argument("--sequences", type=int, nargs="*", default=None)
+    p.add_argument("--cfg_file", type=str, default=None,
+                   help="config yaml; sets the warm-up window (n_past_steps)")
+    p.add_argument("--n_past_steps", type=int, default=None,
+                   help="window size override (default: cfg or 10)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    n_past = args.n_past_steps
+    if n_past is None and args.cfg_file:
+        from ..config import Config
+
+        n_past = Config.from_yaml(args.cfg_file).model.n_past_steps
+    if n_past is None:
+        n_past = 10
     seqs = args.sequences or (VALID_SEQS if args.split == "valid" else TEST_SEQS)
     for seq in seqs:
         ss = f"{int(seq):02d}"
@@ -215,6 +228,7 @@ def main(argv=None):
             args.pred,
             os.path.join(args.out, "mos_preb", "sequences", ss, "predictions"),
             ss,
+            n_past_steps=n_past,
         )
 
 

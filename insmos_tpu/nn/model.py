@@ -126,9 +126,22 @@ class InsMOSModel:
 
         # overflow observability: dropped site counts per level (0 in
         # normal operation; the reference's only cap is the 100k voxelizer)
+        # attribute p2v == -1 drops: out-of-grid points (the reference's
+        # PointToVoxel drops these too — x/y are pre-masked by the data
+        # processor but z is not; parity) vs voxel-capacity drops beyond
+        # the 100k cap (also reference behavior, but order-dependent —
+        # kept as a separate counter so the bench can gate it at 0)
+        inv = 1.0 / jnp.asarray(cfg.data.voxel_size, current.dtype)
+        lo = jnp.asarray(cfg.data.point_cloud_range[:3], current.dtype)
+        vc = jnp.floor((current[:, :3] - lo) * inv).astype(jnp.int32)
+        dims_arr = jnp.asarray(cfg.data.grid_size, jnp.int32)
+        in_grid = jnp.all((vc >= 0) & (vc < dims_arr[None, :]), axis=-1)
+        vox_dropped = (p2v < 0) & cur_valid
         overflow = {
             "motion_dropped": jnp.stack(motion_stats["dropped"]),
-            "voxelizer_dropped": jnp.sum((p2v < 0) & cur_valid),
+            "voxelizer_dropped": jnp.sum(vox_dropped),
+            "voxelizer_out_of_range": jnp.sum(vox_dropped & ~in_grid),
+            "voxelizer_capacity_dropped": jnp.sum(vox_dropped & in_grid),
             # compaction overflow (pure deviation -> hard-gated at 0;
             # reference has no such cap): voxels beyond unet_site_capacity
             "unet_dropped": unet_dropped,

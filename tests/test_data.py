@@ -109,6 +109,42 @@ def test_window_dataset_short_window(synthetic_root):
     assert s.meta[1] == 2
 
 
+def test_train_shuffle_points(synthetic_root):
+    """Train-split point shuffling (reference data_processor.py:111-120):
+    the voxelizer averages the FIRST max_points_per_voxel points per voxel,
+    so train-time order must be randomized — and deterministic (file
+    order) when DATA.SHUFFLE is off."""
+    import dataclasses
+
+    base = Config().tiny(points=8192)
+    cfg_on = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, augmentation=False)
+    )
+    cfg_off = dataclasses.replace(
+        cfg_on, data=dataclasses.replace(cfg_on.data, shuffle=False)
+    )
+    kw = dict(root_dir=synthetic_root, sequences=[8], with_labels=True)
+    s_off = KittiWindowDataset(cfg_off, "train", **kw)[0]
+    s_on = KittiWindowDataset(cfg_on, "train", **kw)[0]
+    w = cfg_on.model.n_past_steps - 1
+    n = s_off.num_points[w]
+    a = s_off.points[w, :n]
+    b = s_on.points[w, :n]
+    assert s_on.num_points[w] == n
+    # same point SET, different order when shuffling
+    np.testing.assert_allclose(
+        np.sort(a.view("f4").reshape(-1)), np.sort(b.view("f4").reshape(-1))
+    )
+    assert not np.array_equal(a, b), "train path did not shuffle points"
+    # shuffle-off is deterministic (= file order after the range mask)
+    s_off2 = KittiWindowDataset(cfg_off, "train", **kw)[0]
+    np.testing.assert_array_equal(a, s_off2.points[w, :n])
+    # labels ride the same permutation: point->label pairing is preserved
+    pair_off = {tuple(p): l for p, l in zip(a[:, :3], s_off.labels[w, :n])}
+    for p, l in zip(b[:, :3], s_on.labels[w, :n]):
+        assert pair_off[tuple(p)] == l
+
+
 def test_range_mask_xy_only():
     rng = [-60, -50, -3, 60, 50, 1]
     pts = np.array(

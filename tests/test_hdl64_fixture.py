@@ -125,8 +125,13 @@ def test_span_plans_zero_overflow_at_full_scale():
     )
     assert int(n_drop) == 0
     assert int(n_sites) * 1.1 < mc.site_capacities[0]
+    # budgets = the DEPLOYED full-window stem plan's (minkunet4d.py
+    # motionnet_forward reqs: slots=12288, gwin=64, pairs=4096) — the test
+    # certifies the parameters the model actually runs with. (Smaller
+    # budgets leave a counted residual — e.g. 45 rows at gwin=32 — which
+    # the bench gate would catch; that is the counter working, not a bug.)
     plan = make_span_plan(
         slab.keys, slab.coords, slab.valid, (5, 5, 5),
-        in_dims=mc.grid_size, span=256, slots=8192, gwin=32, pairs=4096,
+        in_dims=mc.grid_size, span=256, slots=12288, gwin=64, pairs=4096,
     )
     assert int(plan.n_overflow) == 0, int(plan.n_overflow)
