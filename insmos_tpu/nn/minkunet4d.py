@@ -163,9 +163,10 @@ def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
         )
     )
     if span:
+        # fixture: 1635 live slots / min gwin 32 (tools/probe_gwin.py)
         ntbl = make_span_plan(
             nslab.keys, nslab.coords, nslab.valid, _K3_STEM, in_dims=dims1,
-            span=256, slots=4096, gwin=48, pairs=2048,
+            span=256, slots=2304, gwin=40, pairs=2048,
         )
         stats["span_overflow"].append(ntbl.n_overflow)
     else:
@@ -283,18 +284,25 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
             # ranges (p999 ~25k rows) -> generous jumbo coverage there;
             # occupancy is folded into the down conv itself
             # (conv_with_occ), so no separate occ pass runs.
+            # slots/gwin/pairs sized from fixture-measured need x ~1.4
+            # margin (tools/probe_gwin.py: L1 block 2221 slots / gwin 32,
+            # downs gwin 4) — every tier-2 greedy round costs ~19 tiny
+            # dispatches even with nothing uncovered, so oversized gwin
+            # was ~10-15 ms/step of pure overhead (round-5 trace). The
+            # bench hard-gates n_overflow == 0, so a regression is loud.
             reqs = [
                 dict(
                     out_coords=s_in.coords, out_valid=s_in.valid,
                     kernel3=_K3_BLOCK, in_dims=dims[fin], bs=128, span=256,
-                    slots={1: 6144, 2: 2048, 4: 1024}[fin], gwin=48,
+                    slots={1: 3200, 2: 1280, 4: 384}[fin],
+                    gwin={1: 40, 2: 32, 4: 24}[fin],
                     pairs={1: 3072, 2: 1024, 4: 512}[fin],
                 ),
                 dict(
                     out_coords=nxt.coords, out_valid=nxt.valid,
                     kernel3=_K3_DOWN, stride3=_S2, pad3=_P0,
                     in_dims=dims[fin], bs=128, span=256,
-                    slots={2: 4096, 4: 2048, 8: 1024}[fout], gwin=48,
+                    slots={2: 1024, 4: 512, 8: 256}[fout], gwin=12,
                     pairs={2: 2048, 4: 1024, 8: 512}[fout],
                 ),
             ]
@@ -333,7 +341,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
     tables[8] = (
         make_span_plan(
             s8.keys, s8.coords, s8.valid, _K3_BLOCK, in_dims=dims[8],
-            bs=128, span=384, slots=256, gwin=32,
+            bs=128, span=384, slots=128, gwin=8,
         )
         if span
         else window_tables(
@@ -365,14 +373,21 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
     # sites, matching the reference.
     if prune is None:
         prune = not train
-    # absolute first-needed slot per tensor (t_hi = W-1 always)
+    # absolute first-needed slot per tensor, anchored to the window END:
+    # every 3^4 conv consumes one earlier slot, so the chain steps down by
+    # 1 from b8o = W-1. (A min(t, W-1) clamp here was WRONG for W < 10 —
+    # it collapsed consecutive stages to the same slot, so deeper convs
+    # read slots their producers never computed; caught by the torch e2e
+    # oracle at W=2, tests/test_torch_e2e.py. At W=10 the values are
+    # unchanged: b2o=1 .. b8o=9.)
     tl = {
-        "b2o": 1, "b3m": 2, "b3o": 3, "b6m": 4, "b6o": 5,
-        "b7m": 6, "b7o": 7, "b8m": 8, "b8o": 9,
+        "b2o": W - 9, "b3m": W - 8, "b3o": W - 7, "b6m": W - 6,
+        "b6o": W - 5, "b7m": W - 4, "b7o": W - 3, "b8m": W - 2,
+        "b8o": W - 1,
     } if prune and W > 1 else {}
 
     def t0_of(name):
-        return min(tl.get(name, 0), W - 1)
+        return max(tl.get(name, 0), 0)
 
     def sl(slab_full, t0):
         return slice_slots(slab_full, t0, W - t0) if t0 else slab_full

@@ -243,6 +243,82 @@ def _fold_dot(src_of, w, tilemap, bs, KT_total, TOP):
     return jnp.concatenate(cols, axis=1)
 
 
+def _residue_ok(parts, kx, TC, TCP) -> bool:
+    """Residue-packed extraction eligibility: single kt=1 part whose kx
+    tap-lane blocks all fit in ONE 128-lane tile (kx*T*cin <= 128). Then
+    the per-tap one-hot extraction dots collapse into ONE multi-hot range
+    dot against residue-packed features (`_residue_feats`): each residue
+    class (key mod kx) has at most one key in a kx-window of consecutive
+    integers, so lane block c of the product holds exactly tap
+    d = (c - q mod kx) mod kx — recovered by per-site selection among kx
+    rotated fold weights (`_residue_weights`). Extraction FLOPs drop kx x
+    on the stem (kx=5, T*cin=10): the kernel's dominant dot at cin=1."""
+    return (
+        len(parts) == 1
+        and parts[0].kt == 1
+        and parts[0].t0_off == 0
+        and kx * TC <= 128
+        and TCP == 128
+    )
+
+
+def _residue_feats(feats_cat, x_keys, kx, TC, dtype):
+    """(Vin, TC) -> (Vin, 128): lane block (key mod kx)*TC..+TC holds the
+    row's features; other lanes zero. Padding rows are all-zero already."""
+    Vin = feats_cat.shape[0]
+    c = jnp.remainder(x_keys, kx)  # grid keys are >= 0; sentinel harmless
+    out = jnp.zeros((Vin, 128), dtype)
+    f = feats_cat.astype(dtype)
+    for cv in range(kx):
+        out = out.at[:, cv * TC : cv * TC + TC].set(
+            jnp.where((c == cv)[:, None], f, 0)
+        )
+    return out
+
+
+def _residue_weights(wg_unpadded, kx, TC, TOP, dtype):
+    """(G, kx, TC, TO) folded tap weights -> (G, kx*128, TOP) rotated fold
+    matrices: rows [c0*128 + c*TC + j] = tap ((c - c0) mod kx) weight row
+    j, so P @ W[c0] is the conv output for sites with q mod kx == c0."""
+    G, kx_, TC_, TO = wg_unpadded.shape
+    assert (kx_, TC_) == (kx, TC)
+    w = jnp.zeros((G, kx, 128, TOP), dtype)
+    for c0 in range(kx):
+        for c in range(kx):
+            w = w.at[:, c0, c * TC : (c + 1) * TC, :TO].set(
+                wg_unpadded[:, (c - c0) % kx].astype(dtype)
+            )
+    return w.reshape(G, kx * 128, TOP)
+
+
+def _residue_contrib(kspan, q, xbase, row_ok, f, w_rows, kx, X, dtype):
+    """Shared residue-extraction compute for both kernels: multi-hot range
+    dot + kx rotated folds + per-site rotation select. `w_rows` is this
+    group's (kx*128, TOP) rotated weight; `kspan` (1, SPAN) keys (already
+    exclusion-masked by the caller where needed)."""
+    dlo = jnp.maximum(0, -xbase)
+    dhi = jnp.minimum(kx - 1, X - 1 - xbase)
+    qlo = jnp.where(row_ok & (dlo <= dhi), q + dlo, 1)
+    qhi = jnp.where(row_ok & (dlo <= dhi), q + dhi, 0)
+    M = (
+        (kspan >= qlo[:, None]) & (kspan <= qhi[:, None])
+    ).astype(dtype)
+    P = jax.lax.dot_general(
+        M, f, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dtype)  # (BS, 128)
+    c0 = jnp.remainder(jnp.remainder(q, kx) + kx, kx)
+    contrib = None
+    for cv in range(kx):
+        A = jax.lax.dot_general(
+            P, w_rows[cv * 128 : (cv + 1) * 128, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sel = jnp.where((c0 == cv)[:, None], A, 0.0)
+        contrib = sel if contrib is None else contrib + sel
+    return contrib
+
+
 def _kernel(
     # scalar prefetch
     sbse_ref,  # (GP, NB) int32: bits 0..15 span start (16-row tile units),
@@ -271,6 +347,7 @@ def _kernel(
     stride3,
     pad3,
     tilemap=None,
+    residue=False,
 ):
     BS = bs
     SPAN = span
@@ -328,6 +405,18 @@ def _kernel(
                 axis=0, keepdims=True,
             )  # (1, SPAN)
 
+            f = fscr[slot]
+            if residue:
+                contrib = _residue_contrib(
+                    kspan, q, xbase, row_ok, f, wg_ref[gi], kx, X,
+                    wg_ref.dtype,
+                )
+                if gi == 0:
+                    acc_ref[:] = contrib
+                else:
+                    acc_ref[:] = acc_ref[:] + contrib
+                return
+
             # Direct equality extraction: site keys are UNIQUE ints, so
             # the one-hot for kernel x-position d is simply
             # (kspan == q + d) — no rank reductions (cross-lane sums were
@@ -335,7 +424,6 @@ def _kernel(
             # negative query; absent neighbours match nothing and
             # contribute exact zeros. One one-hot matmul per d — the MXU
             # does the gather AND the slot alignment.
-            f = fscr[slot]
             parts = []
             for d in range(kx):
                 ok_d = row_ok & (xbase + d >= 0) & (xbase + d < X)
@@ -917,6 +1005,7 @@ def _gw_kernel(
     stride3,
     pad3,
     tilemap=None,
+    residue=False,
 ):
     """Greedy coverage slots: one grid step = ONE extra window of ONE
     (group, block) pair (flat slot list from _plan_finish). Each step DMAs
@@ -986,6 +1075,20 @@ def _gw_kernel(
         kspan2 = jnp.where(r * 16 + lane >= excl, kspan, -2)
 
         f = fscr[:]
+        if residue:
+            contrib = _residue_contrib(
+                kspan2, q, xbase, row_ok, f, wg_ref[0], kx, X, wg_ref.dtype
+            )
+
+            @pl.when(fresh)
+            def _():
+                out_ref[:] = io_ref[:] + contrib
+
+            @pl.when(jnp.logical_not(fresh))
+            def _():
+                out_ref[:] = out_ref[:] + contrib
+
+            return
         parts = []
         for d in range(kx):
             ok_d = row_ok & (xbase + d >= 0) & (xbase + d < X)
@@ -1115,12 +1218,21 @@ def span_conv_parts(
     dtype = (
         weights[0].dtype if weights[0].dtype == jnp.bfloat16 else jnp.float32
     )
+    residue = _residue_ok(parts, kx, TC, TCP) and os.environ.get(
+        "INSMOS_RESIDUE", "1"
+    ) != "0"
     wg = fold_weights_parts(
         weights, parts, kx, G, T_out, dtype, TC, TO
     )  # (G, kx*TC, TO)
-    wg = jnp.pad(
-        wg.reshape(G, kx, TC, TO), ((0, 0), (0, 0), (0, TCP - TC), (0, TOP - TO))
-    ).reshape(G, kx * TCP, TOP)
+    if residue:
+        wg = _residue_weights(
+            wg.reshape(G, kx, TC, TO), kx, TC, TOP, dtype
+        )  # (G, kx*128, TOP) rotated fold matrices
+    else:
+        wg = jnp.pad(
+            wg.reshape(G, kx, TC, TO),
+            ((0, 0), (0, 0), (0, TCP - TC), (0, TOP - TO)),
+        ).reshape(G, kx * TCP, TOP)
 
     def padV(a, fill):
         return jnp.concatenate(
@@ -1142,7 +1254,9 @@ def span_conv_parts(
     )  # (nr16, span)
     feats_pad = jnp.concatenate(
         [
-            jnp.pad(feats_cat.astype(dtype), ((0, 0), (0, TCP - TC))),
+            _residue_feats(feats_cat, x_keys, kx, TC, dtype)
+            if residue
+            else jnp.pad(feats_cat.astype(dtype), ((0, 0), (0, TCP - TC))),
             jnp.zeros((span + 16, TCP), dtype),
         ]
     )
@@ -1200,12 +1314,12 @@ def span_conv_parts(
 
     tilemap = (
         _fold_tilemap(parts, kx, T_out, TCP, TOP)
-        if _tilemap_enabled()
+        if _tilemap_enabled() and not residue
         else None
     )
     kern = functools.partial(
         _kernel, kx=kx, G=G, GI=GI, span=span, bs=bs, in_dims=in_dims,
-        stride3=stride3, pad3=pad3, tilemap=tilemap,
+        stride3=stride3, pad3=pad3, tilemap=tilemap, residue=residue,
     )
     out = pl.pallas_call(
         kern,
@@ -1247,6 +1361,7 @@ def span_conv_parts(
         gkern = functools.partial(
             _gw_kernel, kx=kx, G=G, span=span, bs=bs,
             in_dims=in_dims, stride3=stride3, pad3=pad3, tilemap=tilemap,
+            residue=residue,
         )
         out = pl.pallas_call(
             gkern,

@@ -419,3 +419,57 @@ def test_block_cat_matches_cat_block():
     np.testing.assert_allclose(
         np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
     )
+
+def test_residue_packed_stem_shape(engine_mode):
+    """Residue-packed extraction (span_conv._residue_ok: kt=1, kx*T*cin
+    <= 128): stem-shaped conv (kx=5, cin=1, T=10) must agree with the
+    windowed oracle, including x-boundary sites where the multi-hot window
+    clamp excludes wrapped next-row keys. Also A/B the escape hatch."""
+    import os
+
+    rng = np.random.default_rng(7)
+    dims = (16, 12, 10)
+    Tn, cin, cout = 10, 1, 8
+    n, cap = 2500, 2048
+    coords3 = np.stack(
+        [rng.integers(0, d, n) for d in dims], axis=-1
+    ).astype(np.int32)
+    # force x-boundary coverage (window clamp / wrap-exclusion edge)
+    coords3[:200, 0] = np.where(np.arange(200) % 2 == 0, 0, dims[0] - 1)
+    tcol = rng.integers(0, Tn, n).astype(np.int32)
+    slab, _, _, _ = build_slab(
+        jnp.asarray(coords3), jnp.asarray(tcol), jnp.ones(n, bool), dims,
+        Tn, cap,
+    )
+    feats = rng.normal(size=(cap, Tn * cin)).astype(np.float32)
+    slab = slab.replace_feats(jnp.asarray(feats))
+    slab = slab.replace_feats(slab.mask_feats())
+    kernel = (5, 5, 5, 1)
+    w = jnp.asarray(rng.normal(size=(125, cin, cout)).astype(np.float32)) * 0.2
+
+    from insmos_tpu.sparse.span_conv import _residue_ok, ConvPart
+
+    assert _residue_ok((ConvPart(cin, cout, Tn, 1, 0, 0),), 5, Tn * cin, 128)
+
+    grid = site_grid(slab)
+    tbl = window_tables(
+        grid, dims, slab.coords, slab.valid, kernel[:3], vin=cap
+    )
+    ref = window_conv(slab, w, tbl, slab, kernel)
+    got, n_ovf = span_conv_slab(slab, w, slab, kernel)
+    assert int(n_ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
+    )
+
+    # escape hatch runs the per-tap path and still agrees
+    os.environ["INSMOS_RESIDUE"] = "0"
+    try:
+        jax.clear_caches()
+        got2, _ = span_conv_slab(slab, w, slab, kernel)
+    finally:
+        del os.environ["INSMOS_RESIDUE"]
+        jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(got2.feats), np.asarray(ref.feats), atol=1e-4, rtol=1e-4
+    )
