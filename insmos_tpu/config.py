@@ -74,7 +74,12 @@ class MotionNetConfig:
     # tax the whole step. Overflows are counted and hard-gated (bench.py
     # fails loudly), so an out-of-distribution scene degrades visibly, not
     # silently. L1/L2 are multiples of conv_chunk for the window engine.
-    site_capacities: tuple[int, ...] = (393_216, 131_072, 49_152, 16_384)
+    # round-5 trim: 1.5x -> 1.25x headroom at L1 (certified fixture max
+    # 262k; every capacity-scale glue pass AND every dead conv block's
+    # unconditional span DMA scales with the cap — the round-5 trace
+    # showed ~1 GB/step of dead-block DMA at the 1.5x cap). Still a
+    # multiple of conv_chunk; the bench hard-gates overflow at 0.
+    site_capacities: tuple[int, ...] = (327_680, 131_072, 45_056, 14_336)
     # site capacity of the SINGLE-scan stem slab in the incremental
     # streaming mode (_incremental_stem). Distinct from the point capacity:
     # a ~125k-point HDL-64 scan occupies only ~48-55k voxels (fixture), so

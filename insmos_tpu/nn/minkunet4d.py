@@ -294,8 +294,13 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                 dict(
                     out_coords=s_in.coords, out_valid=s_in.valid,
                     kernel3=_K3_BLOCK, in_dims=dims[fin], bs=128, span=256,
+                    # block@L1 gwin stays high: the ref-exact bench stream
+                    # measured a far-field pair needing >48 windows (108
+                    # uncovered rows) that the static fixture (even
+                    # rotated) never shows; tier-2 rounds on the compacted
+                    # pair set cost ~40 us each, so the safety is cheap
                     slots={1: 3200, 2: 1280, 4: 384}[fin],
-                    gwin={1: 40, 2: 32, 4: 24}[fin],
+                    gwin={1: 64, 2: 32, 4: 24}[fin],
                     pairs={1: 3072, 2: 1024, 4: 512}[fin],
                 ),
                 dict(

@@ -195,10 +195,14 @@ def unet3d_forward(
             tables[fin], down_tables[stride] = make_span_plans(
                 s_in.keys,
                 [
+                    # budgets = fixture-measured live slots / min gwin x
+                    # ~1.4 margin (tools/probe_gwin.py; bench hard-gates
+                    # n_overflow == 0, so regressions fail loudly)
                     dict(
                         out_coords=s_in.coords, out_valid=s_in.valid,
                         kernel3=_K3, in_dims=dims[fin], bs=128, span=256,
-                        slots={1: 1536, 2: 1024, 4: 512}[fin], gwin=48,
+                        slots={1: 768, 2: 512, 4: 256}[fin],
+                        gwin={1: 32, 2: 24, 4: 16}[fin],
                         pairs={1: 768, 2: 512, 4: 256}[fin],
                     ),
                     dict(
@@ -206,7 +210,7 @@ def unet3d_forward(
                         kernel3=_K3, stride3=_S2, pad3=_P1,
                         in_dims=dims[fin], bs=128,
                         span=384 if stride == 8 else 256,
-                        slots=2048 if stride < 8 else 1024, gwin=48,
+                        slots=512 if stride < 8 else 128, gwin=12,
                         pairs=1024 if stride < 8 else 512,
                     ),
                 ],
@@ -235,12 +239,12 @@ def unet3d_forward(
             [
                 dict(
                     out_coords=s8.coords, out_valid=s8.valid, kernel3=_K3,
-                    in_dims=dims[8], bs=128, span=384, slots=128, gwin=32,
+                    in_dims=dims[8], bs=128, span=384, slots=128, gwin=8,
                 ),
                 dict(
                     out_coords=sites_out.coords, out_valid=sites_out.valid,
                     kernel3=_KZ, stride3=_SZ, pad3=_PZ, in_dims=dims[8],
-                    bs=128, span=384, slots=512, gwin=32, pairs=256,
+                    bs=128, span=384, slots=128, gwin=8, pairs=256,
                 ),
             ],
         )

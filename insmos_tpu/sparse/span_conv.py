@@ -306,7 +306,10 @@ def _residue_contrib(kspan, q, xbase, row_ok, f, w_rows, kx, X, dtype):
     P = jax.lax.dot_general(
         M, f, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dtype)  # (BS, 128)
-    c0 = jnp.remainder(jnp.remainder(q, kx) + kx, kx)
+    # minor-dim expansion must happen on the 32-bit int, not the i1
+    # compare result (Mosaic: "Insertion of minor dim ... only supported
+    # for 32-bit types")
+    c0_col = jnp.remainder(jnp.remainder(q, kx) + kx, kx)[:, None]
     contrib = None
     for cv in range(kx):
         A = jax.lax.dot_general(
@@ -314,7 +317,7 @@ def _residue_contrib(kspan, q, xbase, row_ok, f, w_rows, kx, X, dtype):
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        sel = jnp.where((c0 == cv)[:, None], A, 0.0)
+        sel = jnp.where(c0_col == cv, A, 0.0)
         contrib = sel if contrib is None else contrib + sel
     return contrib
 
@@ -628,32 +631,29 @@ def _plan_ctx(
     kz = jnp.asarray([g[1] for g in groups], jnp.int32)
 
     def block_q(c3, v, fill):
-        # Plan queries use the RAW row index (iz*Y + iy), which is
-        # monotone in site order by construction (it equals the site's
-        # own (z, y) rank plus a per-group constant), clamped JOINTLY to
-        # the grid's row range. Per-coordinate clamping would break
-        # monotonicity where an out-of-range z-row ties with the next
-        # slice's in-range rows — the sentinel-coverage logic relies on
-        # monotone positions. The kernel masks out-of-range rows anyway;
-        # clamping only makes anchors conservative.
-        row = (
-            (c3[:, 2] * sz - pz + kz[:, None]) * Y
-            + (c3[:, 1] * sy - py + ky[:, None])
-        )
-        row = jnp.clip(row, 0, Y * Z - 1)
-        q = row * X + (c3[:, 0] * sx - px)[None]
-        return jnp.where(v[None] > 0, q, fill)  # (G, ...)
+        """Kernel-real queries with OUT-OF-GRID rows -> fill (excluded
+        from anchoring; the kernel masks them too)."""
+        iy = c3[:, 1] * sy - py + ky[:, None]
+        iz = c3[:, 2] * sz - pz + kz[:, None]
+        row_ok = (v[None] > 0) & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
+        q = (iz * Y + iy) * X + (c3[:, 0] * sx - px)[None]
+        return jnp.where(row_ok, q, fill)  # (G, ...)
 
     BIG = jnp.iinfo(jnp.int32).max
     vblk = ovalid.reshape(NB, bs)
     nvalid_blk = vblk.sum(axis=1)  # (NB,)
-    base = jnp.arange(NB, dtype=jnp.int32) * bs
-    last_i = base + jnp.maximum(nvalid_blk - 1, 0)
 
-    firsts = block_q(ocoords[::bs], ovalid[::bs], BIG)
-    lasts = block_q(
-        jnp.take(ocoords, last_i, axis=0), (nvalid_blk > 0).astype(jnp.int32), -1
-    )
+    # Anchor each (group, block) span at the block's TRUE min query and
+    # end it at the TRUE max query — an exact per-block interval. (The
+    # earlier head/last-site anchoring assumed queries are monotone in
+    # site order; that FAILS in blocks straddling a y/z grid boundary,
+    # where a later site's valid window can precede the head site's —
+    # found by the round-5 residue probe as a silent 3-row coverage hole
+    # with n_overflow == 0: the certificate only checked the END side.)
+    q_all = block_q(ocoords, ovalid, BIG)  # (G, Vp)
+    qb = q_all.reshape(G, NB, bs)
+    firsts = jnp.min(qb, axis=2)  # (G, NB); all-invalid -> BIG
+    lasts = jnp.max(jnp.where(qb == BIG, -1, qb), axis=2)  # -> -1
     ctx = dict(
         kernel3=tuple(kernel3), stride3=tuple(stride3), pad3=tuple(pad3),
         in_dims=tuple(in_dims), span=span, bs=bs, js=slots, gwin=gwin,
@@ -975,7 +975,18 @@ def _exact_uncovered(
         & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
     )
     q_all = (iz * Y + iy) * X + (ocoords[:, 0] * sx - px)[None]
-    return jnp.sum(row_ok & (q_all + kx > Kcov))
+    # start side (positional, exact): window keys exist below the span
+    # start iff the first key >= q sits before sb*16 AND is < q + kx.
+    # With true-min anchoring this is structurally 0; counted so the
+    # exact counter certifies both ends independent of anchoring.
+    pos_all = _bisect(
+        x_keys, jnp.where(row_ok, q_all, 0),
+        max(1, math.ceil(math.log2(Vin + 1))),
+    )
+    k_at_pos = jnp.take(kpad_keys, jnp.clip(pos_all, 0, Vin))
+    start_at = jnp.take_along_axis(sb * 16, blk[None], axis=1)  # (G, Vp)
+    start_viol = (pos_all < start_at) & (k_at_pos < q_all + kx)
+    return jnp.sum(row_ok & ((q_all + kx > Kcov) | start_viol))
 
 
 def _gw_kernel(
