@@ -87,6 +87,16 @@ class MotionNetConfig:
     # through the stem conv + plan. Overflow is counted via build_slab's
     # drop counter and hard-gated like every other capacity.
     stem_scan_capacity: int = 65_536
+    # decoder spatial pruning (inference, span engine): the decoder's
+    # outputs are only consumed on the CURRENT scan's sites (reference
+    # models/models.py:322-324), so blocks 6/7/8 + the up convs run on
+    # dilated halos of the current scan instead of the full window union
+    # (halo reach 2 per block level; measured needed-site ratios
+    # I1 0.47x / I2 0.55x / I4 0.68x of the level unions — PERF.md).
+    # Capacities sized at ratio x union-capacity with margin; overflow is
+    # counted into the motion_dropped hard gate.
+    decoder_capacities: tuple[int, ...] = (180_224, 86_016, 36_864)
+    decoder_prune: bool = True
 
     @property
     def grid_size(self) -> tuple[int, int, int]:

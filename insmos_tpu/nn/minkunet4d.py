@@ -38,13 +38,18 @@ import numpy as np
 
 from ..config import Config
 from ..sparse.slab import (
+    Slab,
     build_slab,
+    compact_rows,
     derive_strided_sites,
+    dilate_mask,
     gather_slots,
+    linearize3,
     parent_index,
     site_grid,
     slice_slots,
     strided_occ,
+    take_rows,
     window_tables,
 )
 from ..sparse.span_conv import make_span_plan, make_span_plans
@@ -257,6 +262,14 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
 
     # ---- per-level site derivation, grids, tables/plans --------------
     span = use_span_engine(cfg, train)
+    if prune is None:
+        prune = not train
+    # decoder spatial pruning (span inference): only the current scan's
+    # sites are consumed from the decoder (models/models.py:322-324), so
+    # blocks 6/7/8 + up convs run on reach-2 halos of the current scan
+    # per level instead of the full window unions (measured needed-site
+    # ratios I1 0.47 / I2 0.55 / I4 0.68 — PERF.md round-4 lever).
+    prune_dec = bool(prune and span and W > 1 and mc.decoder_prune)
     stats["span_overflow"] = []
     slabs = {1: x}
     tables = {}
@@ -290,27 +303,35 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
             # dispatches even with nothing uncovered, so oversized gwin
             # was ~10-15 ms/step of pure overhead (round-5 trace). The
             # bench hard-gates n_overflow == 0, so a regression is loud.
-            reqs = [
-                dict(
-                    out_coords=s_in.coords, out_valid=s_in.valid,
-                    kernel3=_K3_BLOCK, in_dims=dims[fin], bs=128, span=256,
-                    # block@L1 gwin stays high: the ref-exact bench stream
-                    # measured a far-field pair needing >48 windows (108
-                    # uncovered rows) that the static fixture (even
-                    # rotated) never shows; tier-2 rounds on the compacted
-                    # pair set cost ~40 us each, so the safety is cheap
-                    slots={1: 3200, 2: 1280, 4: 384}[fin],
-                    gwin={1: 64, 2: 32, 4: 24}[fin],
-                    pairs={1: 3072, 2: 1024, 4: 512}[fin],
-                ),
+            reqs = []
+            # the fin==1 block plan's ONLY consumer is block8 (decoder);
+            # with decoder pruning it is replaced by the pruned-set plan
+            if fin != 1 or not prune_dec:
+                reqs.append(
+                    dict(
+                        out_coords=s_in.coords, out_valid=s_in.valid,
+                        kernel3=_K3_BLOCK, in_dims=dims[fin], bs=128,
+                        span=256,
+                        # block@L1 gwin stays high: the ref-exact bench
+                        # stream measured a far-field pair needing >48
+                        # windows (108 uncovered rows) that the static
+                        # fixture (even rotated) never shows; tier-2
+                        # rounds on the compacted pair set cost ~40 us
+                        # each, so the safety is cheap
+                        slots={1: 3200, 2: 1280, 4: 384}[fin],
+                        gwin={1: 64, 2: 32, 4: 24}[fin],
+                        pairs={1: 3072, 2: 1024, 4: 512}[fin],
+                    )
+                )
+            reqs.append(
                 dict(
                     out_coords=nxt.coords, out_valid=nxt.valid,
                     kernel3=_K3_DOWN, stride3=_S2, pad3=_P0,
                     in_dims=dims[fin], bs=128, span=256,
                     slots={2: 1024, 4: 512, 8: 256}[fout], gwin=12,
                     pairs={2: 2048, 4: 1024, 8: 512}[fout],
-                ),
-            ]
+                )
+            )
             if fin == 1 and stem_cache is None:
                 # (the incremental-stem path plans over the new scan's
                 # slab instead — see _incremental_stem)
@@ -322,9 +343,14 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                     )
                 )
             plans = make_span_plans(s_in.keys, reqs)
-            tables[fin], down_tables[fout] = plans[0], plans[1]
-            if len(plans) == 3:
-                tables["stem"] = plans[2]
+            pi = 0
+            if fin != 1 or not prune_dec:
+                tables[fin] = plans[pi]
+                pi += 1
+            down_tables[fout] = plans[pi]
+            pi += 1
+            if len(plans) > pi:
+                tables["stem"] = plans[pi]
         else:
             if fin == 1 and stem_cache is None:
                 tables["stem"] = window_tables(
@@ -353,20 +379,75 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
             grid8, dims[8], s8.coords, s8.valid, _K3_BLOCK, vin=s8.capacity
         )
     )
+    # ---- decoder spatial pruning: halo site subsets + plans ----------
+    dec_tbl = {}
+    dec_tpl = {}
+    dec_idx = {}
+    if prune_dec:
+        from ..sparse.tensor import KEY_SENTINEL as _SENT
+
+        dcaps = [min(c, s) for c, s in zip(mc.decoder_capacities, caps[:3])]
+
+        def _sel_level(slab_l, src_keys, src_sel, dimsL, cap):
+            """Reach-2 Chebyshev halo of the source sites, intersected
+            with the level's union site set, compacted (order-preserving,
+            keys stay sorted). Overflow joins the motion_dropped gate."""
+            m = dilate_mask(src_keys, src_sel, dimsL, 2, slab_l.keys,
+                            slab_l.valid)
+            idx, nov = compact_rows(m, cap)
+            keys = jnp.where(
+                idx >= 0, jnp.take(slab_l.keys, jnp.maximum(idx, 0)), _SENT
+            )
+            coords = take_rows(slab_l.coords, idx)
+            vld = idx >= 0
+            tpl = Slab(
+                keys, coords, jnp.zeros((cap, slab_l.T), bool),
+                jnp.zeros((cap, 0), jnp.float32), vld, slab_l.dims, slab_l.T,
+            )
+            return tpl, idx, nov
+
+        s1 = slabs[1]
+        dec_tpl[1], dec_idx[1], nov1 = _sel_level(
+            s1, s1.keys, s1.occ[:, W - 1] & s1.valid, dims[1], dcaps[0]
+        )
+        pk2 = linearize3(dec_tpl[1].coords // 2, dims[2])
+        dec_tpl[2], dec_idx[2], nov2 = _sel_level(
+            slabs[2], pk2, dec_tpl[1].valid, dims[2], dcaps[1]
+        )
+        pk4 = linearize3(dec_tpl[2].coords // 2, dims[4])
+        dec_tpl[4], dec_idx[4], nov4 = _sel_level(
+            slabs[4], pk4, dec_tpl[2].valid, dims[4], dcaps[2]
+        )
+        stats["dropped"] += [nov1, nov2, nov4]
+        for lvl, (slts, gw, prs) in (
+            (1, (3200, 64, 3072)), (2, (1280, 32, 1024)), (4, (384, 24, 512))
+        ):
+            dec_tbl[lvl] = make_span_plan(
+                dec_tpl[lvl].keys, dec_tpl[lvl].coords, dec_tpl[lvl].valid,
+                _K3_BLOCK, in_dims=dims[lvl], bs=128, span=256, slots=slts,
+                gwin=gw, pairs=prs,
+            )
     if span:
         stats["span_overflow"] = [
             t.n_overflow
             for t in (
                 [tables["stem"]] if stem_cache is None else []
             ) + [
-                tables[1], tables[2], tables[4], tables[8],
+                dec_tbl[1] if prune_dec else tables[1],
+                tables[2], tables[4], tables[8],
                 down_tables[2], down_tables[4], down_tables[8],
-            ]
+            ] + ([dec_tbl[2], dec_tbl[4]] if prune_dec else [])
         ]
-    # parent indices for the up path (fine -> its stride-2 parent)
+    # parent indices for the up path (fine -> its stride-2 parent); with
+    # decoder pruning the fine sets are the pruned halos and the coarse
+    # row space is the pruned coarse set (except L8, which stays full)
     for fin, fout in ((4, 8), (2, 4), (1, 2)):
-        grid = grid8 if fout == 8 else site_grid(slabs[fout])
-        parent_idx[fin] = parent_index(grid, dims[fout], slabs[fin])
+        if prune_dec:
+            grid = grid8 if fout == 8 else site_grid(dec_tpl[fout])
+            parent_idx[fin] = parent_index(grid, dims[fout], dec_tpl[fin])
+        else:
+            grid = grid8 if fout == 8 else site_grid(slabs[fout])
+            parent_idx[fin] = parent_index(grid, dims[fout], slabs[fin])
 
     # ---------------- t-pruning schedule ------------------------------
     # Only the CURRENT scan's output is consumed (reference
@@ -376,8 +457,6 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
     # (site, t) depend only on scans within reach of t). Training keeps
     # the full window: its BatchNorm batch statistics run over all 4D
     # sites, matching the reference.
-    if prune is None:
-        prune = not train
     # absolute first-needed slot per tensor, anchored to the window END:
     # every 3^4 conv consumes one earlier slot, so the chain steps down by
     # 1 from b8o = W-1. (A min(t, W-1) clamp here was WRONG for W < 10 —
@@ -404,27 +483,27 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
             if t0_new > t0_cur else tensor
         )
 
-    def block_cat(name, a, b, t0_in, lvl, mid_name, out_name):
+    def block_cat(name, a, b, t0_in, tbl, mid_name, out_name):
         """Residual block over cat(a, b). Span path: channel-split conv
         (no interleaved cat materialized — blocks_slab.basic_block_slab_cat);
         window path: cat_slab + the oracle block."""
         if not span:
-            return block(name, cat_slab(a, b), t0_in, lvl, mid_name, out_name)
+            return block(name, cat_slab(a, b), t0_in, tbl, mid_name, out_name)
         mid_t0, out_t0 = t0_of(mid_name), t0_of(out_name)
         y, ns[name] = basic_block_slab_cat(
-            params[name], state[name], a, b, _K_BLOCK, tables[lvl],
+            params[name], state[name], a, b, _K_BLOCK, tbl,
             resl(a, t0_in, mid_t0), resl(a, t0_in, out_t0),
             t_off1=mid_t0 - t0_in, t_off2=out_t0 - mid_t0, **bn,
         )
         return y, out_t0
 
-    def block(name, x_t, t0_in, lvl, mid_name, out_name):
+    def block(name, x_t, t0_in, tbl, mid_name, out_name):
         # mid/out templates are slot slices of the INPUT tensor: same site
         # set AND real occupancy (the level slabs carry empty occ on the
         # span path, where the down conv computes occ itself)
         mid_t0, out_t0 = t0_of(mid_name), t0_of(out_name)
         y, ns[name] = basic_block_slab_pruned(
-            params[name], state[name], x_t, _K_BLOCK, tables[lvl],
+            params[name], state[name], x_t, _K_BLOCK, tbl,
             resl(x_t, t0_in, mid_t0), resl(x_t, t0_in, out_t0),
             t_off1=mid_t0 - t0_in, t_off2=out_t0 - mid_t0, chunk=chunk, **bn,
         )
@@ -448,41 +527,64 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         params["down1"], state["down1"], out_stem, _K_DOWN, down_tables[2],
         out=slabs[2], chunk=chunk, with_occ=span, **bn,
     )
-    out_b1, _ = block("block1", y, 0, 2, "b1m", "b1o")
+    out_b1, _ = block("block1", y, 0, tables[2], "b1m", "b1o")
     y, ns["down2"] = subm_block_slab(
         params["down2"], state["down2"], out_b1, _K_DOWN, down_tables[4],
         out=slabs[4], chunk=chunk, with_occ=span, **bn,
     )
-    out_b2, t_b2 = block("block2", y, 0, 4, "b2m", "b2o")
+    out_b2, t_b2 = block("block2", y, 0, tables[4], "b2m", "b2o")
     y, ns["down3"] = subm_block_slab(
         params["down3"], state["down3"], out_b2, _K_DOWN, down_tables[8],
         out=sl(slabs[8], t_b2), chunk=chunk, with_occ=span, **bn,
     )
-    y, t_b3 = block("block3", y, t_b2, 8, "b3m", "b3o")
+    y, t_b3 = block("block3", y, t_b2, tables[8], "b3m", "b3o")
 
     # ---------------- decoder ----------------
     # inverse-conv fine templates: the occ-bearing encoder outputs, slot-
-    # sliced to the coarse tensor's range
+    # sliced to the coarse tensor's range. With decoder pruning the
+    # laterals are row-gathered onto the halo subsets (same keys order,
+    # occupancy rides along), and the blocks use the pruned-set plans —
+    # exact on every consumed output: the final gather reads current-scan
+    # sites only, each conv's needed inputs lie within reach 2, and
+    # occupancy masking zeroes any farther (unconsumed) rows.
+    if prune_dec:
+
+        def _prune_lat(t: Slab, lvl):
+            idx = dec_idx[lvl]
+            tpl = dec_tpl[lvl]
+            occ = take_rows(t.occ, idx, fill=False)
+            return Slab(
+                tpl.keys, tpl.coords, occ, take_rows(t.feats, idx),
+                tpl.valid, t.dims, t.T,
+            )
+
+        lat4 = _prune_lat(out_b2, 4)
+        lat2 = _prune_lat(out_b1, 2)
+        lat1 = _prune_lat(out_stem, 1)
+        tbl4, tbl2, tbl1 = dec_tbl[4], dec_tbl[2], dec_tbl[1]
+    else:
+        lat4, lat2, lat1 = out_b2, out_b1, out_stem
+        tbl4, tbl2, tbl1 = tables[4], tables[2], tables[1]
     y, ns["up5"] = inverse_block_slab(
-        params["up5"], state["up5"], y, resl(out_b2, t_b2, t_b3),
+        params["up5"], state["up5"], y, resl(lat4, t_b2, t_b3),
         parent_idx[4], **bn,
     )
     y, t_b6 = block_cat(
-        "block6", y, resl(out_b2, t_b2, t_b3), t_b3, 4, "b6m", "b6o"
+        "block6", y, resl(lat4, t_b2, t_b3), t_b3, tbl4, "b6m", "b6o"
     )
     y, ns["up6"] = inverse_block_slab(
-        params["up6"], state["up6"], y, resl(out_b1, 0, t_b6), parent_idx[2],
+        params["up6"], state["up6"], y, resl(lat2, 0, t_b6), parent_idx[2],
         **bn,
     )
     y, t_b7 = block_cat(
-        "block7", y, resl(out_b1, 0, t_b6), t_b6, 2, "b7m", "b7o"
+        "block7", y, resl(lat2, 0, t_b6), t_b6, tbl2, "b7m", "b7o"
     )
     y, ns["up7"] = inverse_block_slab(
-        params["up7"], state["up7"], y, resl(out_stem, 0, t_b7), parent_idx[1],
+        params["up7"], state["up7"], y, resl(lat1, 0, t_b7), parent_idx[1],
         **bn,
     )
     y, t_b8 = block_cat(
-        "block8", y, resl(out_stem, 0, t_b7), t_b7, 1, "b8m", "b8o"
+        "block8", y, resl(lat1, 0, t_b7), t_b7, tbl1, "b8m", "b8o"
     )
 
     w_f = params["final"]["w"]
@@ -501,5 +603,30 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         assert t_b8 == W - 1 and Tf == 1
         p2s_cur = p2slot[(W - 1) * P :]
         site_or_neg = jnp.where(p2s_cur >= 0, p2s_cur // W, -1)
+        if prune_dec:
+            # map full-union site rows to pruned-halo rows by key match
+            # (current-scan sites are in the halo by construction; a miss
+            # can only come from halo-capacity overflow, which the
+            # motion_dropped hard gate already counts)
+            from ..sparse.span_conv import _bisect
+            from ..sparse.tensor import KEY_SENTINEL as _SENT2
+
+            cap0 = slab1.capacity
+            keys_pad = jnp.concatenate(
+                [slab1.keys, jnp.full((1,), _SENT2, jnp.int32)]
+            )
+            skeys = jnp.take(
+                keys_pad, jnp.where(site_or_neg >= 0, site_or_neg, cap0)
+            )
+            capp = dec_tpl[1].capacity
+            n_it = max(1, int(np.ceil(np.log2(capp + 1))))
+            pos = jnp.clip(
+                _bisect(dec_tpl[1].keys, skeys, n_it), 0, capp - 1
+            )
+            hit = (
+                (jnp.take(dec_tpl[1].keys, pos) == skeys)
+                & (site_or_neg >= 0)
+            )
+            site_or_neg = jnp.where(hit, pos, -1)
         cur = gather_slots(out, site_or_neg, cout)
     return cur, ns, stats

@@ -201,9 +201,14 @@ def unet3d_forward(
                     dict(
                         out_coords=s_in.coords, out_valid=s_in.valid,
                         kernel3=_K3, in_dims=dims[fin], bs=128, span=256,
-                        slots={1: 768, 2: 512, 4: 256}[fin],
-                        gwin={1: 32, 2: 24, 4: 16}[fin],
-                        pairs={1: 768, 2: 512, 4: 256}[fin],
+                        # L1 budgets carry extra slack: the ref-exact bench
+                        # stream (rotating heading, per-step re-voxelized)
+                        # measured 21 uncovered rows at slots=768/gwin=32
+                        # (BENCH round-5 gate), which the fixture-derived
+                        # budgets never showed
+                        slots={1: 1280, 2: 512, 4: 256}[fin],
+                        gwin={1: 48, 2: 24, 4: 16}[fin],
+                        pairs={1: 1024, 2: 512, 4: 256}[fin],
                     ),
                     dict(
                         out_coords=nxt.coords, out_valid=nxt.valid,

@@ -293,6 +293,50 @@ def derive_strided_sites(
     return out, n_sites, n_dropped
 
 
+def dilate_mask(src_keys, src_sel, dims, reach: int, q_keys, q_valid):
+    """Chebyshev-ball dilation membership: for each query site, is it
+    within L-inf distance `reach` of a selected source site?
+
+    Dense-grid route (the sparse alternative — per-offset interval
+    bisections — costs G x |queries| merged-sort rows, far more than the
+    grid's ~3 separable max-pool passes): scatter source keys into a dense
+    bool grid, dilate with three 1-D reduce_windows (the Chebyshev ball is
+    an axis product, so the pool is separable), then take at query keys.
+    Used by the decoder spatial pruning (minkunet4d) — PERF.md round-4
+    'spatial decoder pruning' lever."""
+    X, Y, Z = dims
+    n = X * Y * Z
+    sk = jnp.where(src_sel, src_keys, n)
+    grid = jnp.zeros((n + 1,), jnp.bool_).at[sk].set(True, mode="drop")
+    g = grid[:n].reshape(Z, Y, X)
+    w = 2 * reach + 1
+    for win in ((1, 1, w), (1, w, 1), (w, 1, 1)):
+        g = jax.lax.reduce_window(
+            g, False, jax.lax.bitwise_or, win, (1, 1, 1), "SAME"
+        )
+    m = jnp.take(g.reshape(-1), jnp.clip(q_keys, 0, n - 1))
+    return m & q_valid
+
+
+def compact_rows(sel, capacity: int):
+    """Selected-row indices, compacted to `capacity` (order-preserving, so
+    sorted keys stay sorted). Returns ((capacity,) int32 row index or -1,
+    overflow count)."""
+    V = sel.shape[0]
+    iota = jnp.arange(V, dtype=jnp.int32)
+    idx = _compact_by_sort(jnp.where(sel, iota, INT32_MAX), iota, capacity, 0)
+    n = jnp.sum(sel)
+    idx = jnp.where(jnp.arange(capacity) < n, idx, -1)
+    return idx, jnp.maximum(n - capacity, 0)
+
+
+def take_rows(a, idx, fill=0):
+    """Row gather with -1 -> fill."""
+    rows = jnp.take(a, jnp.maximum(idx, 0), axis=0)
+    m = (idx >= 0).reshape((-1,) + (1,) * (a.ndim - 1))
+    return jnp.where(m, rows, fill)
+
+
 # ------------------------------------------------------------ dense grid
 def site_grid(x: Slab) -> jax.Array:
     """Transient dense (X*Y*Z + pad,) int32 map: key -> site index or -1.

@@ -244,22 +244,23 @@ def _fold_dot(src_of, w, tilemap, bs, KT_total, TOP):
 
 
 def _residue_ok(parts, kx, TC, TCP) -> bool:
-    """Residue-packed extraction eligibility: single kt=1 part whose kx
-    tap-lane blocks all fit in ONE 128-lane tile (kx*T*cin <= 128). Then
-    the per-tap one-hot extraction dots collapse into ONE multi-hot range
-    dot against residue-packed features (`_residue_feats`): each residue
-    class (key mod kx) has at most one key in a kx-window of consecutive
+    """Residue-packed extraction eligibility: the kx tap-lane blocks all
+    fit in ONE 128-lane tile (kx * TC_tot <= 128). Then the per-tap
+    one-hot extraction dots collapse into ONE multi-hot range dot against
+    residue-packed features (`_residue_feats`): each residue class
+    (key mod kx) has at most one key in a kx-window of consecutive
     integers, so lane block c of the product holds exactly tap
     d = (c - q mod kx) mod kx — recovered by per-site selection among kx
     rotated fold weights (`_residue_weights`). Extraction FLOPs drop kx x
-    on the stem (kx=5, T*cin=10): the kernel's dominant dot at cin=1."""
-    return (
-        len(parts) == 1
-        and parts[0].kt == 1
-        and parts[0].t0_off == 0
-        and kx * TC <= 128
-        and TCP == 128
-    )
+    on the stem (kx=5, T*cin=10): the kernel's dominant dot at cin=1.
+
+    The extraction is purely SPATIAL: kt, t0_off and the multi-part
+    layout only shape the folded (G, kx, TC, TO) weight, which the
+    rotated fold matrices consume as-is — so any conv whose packed lane
+    width fits qualifies (round-5: covers block8's second conv at L1
+    (kt=3, TC=16) and the occ-folded down convs (multi-part, TC=cin*T+T),
+    not just the kt=1 single-part stem/UNet convs)."""
+    return kx * TC <= 128 and TCP == 128
 
 
 def _residue_feats(feats_cat, x_keys, kx, TC, dtype):
@@ -398,8 +399,15 @@ def _kernel(
         row_ok = valid & (iy >= 0) & (iy < Y) & (iz >= 0) & (iz < Z)
         q = (iz * Y + iy) * X + xbase  # (BS,) int32 window base key
         r = sbse_ref[g, b] & 0xFFFF
+        emp_g = (sbse_ref[g, b] >> 16) & 1  # plan-certified zero pair
 
-        @pl.when(live)
+        if gi == 0:  # initialize the accumulator once per go step
+
+            @pl.when(live)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(live & (emp_g == 0))
         def _(gi=gi, slot=slot, row_ok=row_ok, q=q, r=r):
             # select the wanted key row from the 8-row aligned block
             subl = jax.lax.broadcasted_iota(jnp.int32, (8, SPAN), 0)
@@ -414,10 +422,7 @@ def _kernel(
                     kspan, q, xbase, row_ok, f, wg_ref[gi], kx, X,
                     wg_ref.dtype,
                 )
-                if gi == 0:
-                    acc_ref[:] = contrib
-                else:
-                    acc_ref[:] = acc_ref[:] + contrib
+                acc_ref[:] = acc_ref[:] + contrib
                 return
 
             # Direct equality extraction: site keys are UNIQUE ints, so
@@ -469,10 +474,7 @@ def _kernel(
                     src_of, wg_ref[gi], tilemap, BS, kx * kpd,
                     wg_ref.shape[-1],
                 )
-            if gi == 0:
-                acc_ref[:] = contrib
-            else:
-                acc_ref[:] = acc_ref[:] + contrib
+            acc_ref[:] = acc_ref[:] + contrib
 
     @pl.when(live)
     def _():
@@ -504,6 +506,8 @@ class SpanPlan:
 
     sb: jax.Array  # (G, NB) int32 span starts (16-row tile units)
     se: jax.Array  # (G, NB) int32 span ends (16-row tile units, ceil)
+    emp: jax.Array  # (G, NB) int32: 1 = provably EMPTY pair (no input key
+    # in [min_q, max_q + kx) — zero contribution; kernels skip its compute)
     gp: jax.Array  # (G, 2) int32 (ky_i, kz_i)
     n_overflow: jax.Array  # () int32 coverage-gate counter (0 == exact)
     gs: jax.Array  # (4, JS) int32 greedy coverage slots, rows = (group,
@@ -779,6 +783,10 @@ def _plan_finish(x_keys, pos2, ctx, exact_stats: bool = False) -> SpanPlan:
     sb = pos2[0] // 16  # head-anchored, tile units
     send = pos2[1]
     se = -(-send // 16)
+    # empty pair: no input key in [min_q, max_q + kx) — the extraction
+    # one-hots match nothing, so the kernels skip the pair's dots entirely
+    # (free at plan time: both interval ends are already bisected).
+    emp = (pos2[1] <= pos2[0]).astype(jnp.int32)
     live_b = nvalid_blk > 0
     jump = (send - sb * 16 > span) & live_b[None]  # (G, NB)
 
@@ -922,7 +930,7 @@ def _plan_finish(x_keys, pos2, ctx, exact_stats: bool = False) -> SpanPlan:
         )
 
     return SpanPlan(
-        sb=sb, se=se, gp=gp, n_overflow=n_overflow, gs=gs,
+        sb=sb, se=se, emp=emp, gp=gp, n_overflow=n_overflow, gs=gs,
         kernel3=tuple(kernel3), stride3=tuple(stride3), pad3=tuple(pad3),
         in_dims=tuple(in_dims), span=span, bs=bs, js=js, gwin=gwin, jp=jp,
     )
@@ -1282,11 +1290,15 @@ def span_conv_parts(
         axis=1,
     )  # (NB, 8, bs)
 
-    # pack span start; sign bit marks DEAD blocks (no valid output site —
-    # slab validity is a sorted prefix), whose matmuls the kernel skips
-    # entirely (DMAs still issue unconditionally; PERF.md Mosaic note)
+    # pack span start; bit 16 marks EMPTY (group, block) pairs (no input
+    # key in the pair's query interval — plan-time exact, ~11% of live
+    # pairs on the HDL-64E fixture, tools/probe_empty_pairs.py), whose
+    # dots the kernel skips; sign bit marks DEAD blocks (no valid output
+    # site — slab validity is a sorted prefix), which skip all compute
+    # (DMAs still issue unconditionally; PERF.md Mosaic note)
     dead = ovalid.reshape(NB, bs).sum(axis=1) == 0  # (NB,)
-    sbse = jnp.where(dead[None, :], plan.sb | (-0x80000000), plan.sb)
+    sbse = plan.sb | (plan.emp << 16)
+    sbse = jnp.where(dead[None, :], sbse | (-0x80000000), sbse)
 
     # groups per grid step: as many as keep this step's folded weights
     # within a ~4 MB VMEM budget (the whole group loop then runs inside one
@@ -1301,7 +1313,7 @@ def span_conv_parts(
             [wg, jnp.zeros((GP - G, kx * TCP, TOP), wg.dtype)]
         )
         sbse = jnp.concatenate(
-            [sbse, jnp.broadcast_to(sbse[:1], (GP - G, NB))]
+            [sbse, jnp.broadcast_to(sbse[:1] | (1 << 16), (GP - G, NB))]
         )
         gp = jnp.concatenate([gp, jnp.zeros((GP - G, 2), jnp.int32)])
 
