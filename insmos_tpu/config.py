@@ -95,7 +95,9 @@ class MotionNetConfig:
     # I1 0.47x / I2 0.55x / I4 0.68x of the level unions — PERF.md).
     # Capacities sized at ratio x union-capacity with margin; overflow is
     # counted into the motion_dropped hard gate.
-    decoder_capacities: tuple[int, ...] = (180_224, 86_016, 36_864)
+    # fixture-measured halo sizes: 120k / 55k / 23.6k (probe_dec_plans)
+    # at ~1.35x headroom; overflow joins the motion_dropped hard gate
+    decoder_capacities: tuple[int, ...] = (163_840, 73_728, 32_768)
     decoder_prune: bool = True
 
     @property

@@ -328,7 +328,11 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                     out_coords=nxt.coords, out_valid=nxt.valid,
                     kernel3=_K3_DOWN, stride3=_S2, pad3=_P0,
                     in_dims=dims[fin], bs=128, span=256,
-                    slots={2: 1024, 4: 512, 8: 256}[fout], gwin=12,
+                    # gwin 12 -> 24: the S=4 multi-stream bench (different
+                    # raycast worlds, moving ego) measured 50 uncovered
+                    # rows at down8 with gwin 12; tier-2 rounds on these
+                    # small plans are cheap
+                    slots={2: 1024, 4: 512, 8: 384}[fout], gwin=24,
                     pairs={2: 2048, 4: 1024, 8: 512}[fout],
                 )
             )
@@ -419,8 +423,14 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
             slabs[4], pk4, dec_tpl[2].valid, dims[4], dcaps[2]
         )
         stats["dropped"] += [nov1, nov2, nov4]
+        # budgets: fixture-measured need (tools/probe_dec_plans.py: L1 1143
+        # slots / gwin 32, L2 484/24, L4 148/12) x ~1.5 margin on slots;
+        # gwin stays HIGH everywhere: the S=4 multi-stream bench (other
+        # raycast worlds, moving ego) measured 71 uncovered rows at dec L4
+        # with gwin 24, and tier-2 greedy rounds run on a compacted pair
+        # set (~40 us each) so the safety is cheap. Hard-gated at 0.
         for lvl, (slts, gw, prs) in (
-            (1, (3200, 64, 3072)), (2, (1280, 32, 1024)), (4, (384, 24, 512))
+            (1, (1792, 48, 2048)), (2, (768, 32, 768)), (4, (384, 40, 384))
         ):
             dec_tbl[lvl] = make_span_plan(
                 dec_tpl[lvl].keys, dec_tpl[lvl].coords, dec_tpl[lvl].valid,

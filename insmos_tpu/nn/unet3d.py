@@ -206,8 +206,11 @@ def unet3d_forward(
                         # measured 21 uncovered rows at slots=768/gwin=32
                         # (BENCH round-5 gate), which the fixture-derived
                         # budgets never showed
+                        # L2/L4 gwin raised: the S=4 multi-stream bench
+                        # (different worlds) measured 3 uncovered rows at
+                        # the UNet L2 block plan with gwin 24
                         slots={1: 1280, 2: 512, 4: 256}[fin],
-                        gwin={1: 48, 2: 24, 4: 16}[fin],
+                        gwin={1: 48, 2: 32, 4: 24}[fin],
                         pairs={1: 1024, 2: 512, 4: 256}[fin],
                     ),
                     dict(

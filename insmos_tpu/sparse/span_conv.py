@@ -870,7 +870,12 @@ def _plan_finish(x_keys, pos2, ctx, exact_stats: bool = False) -> SpanPlan:
             undone = jnp.any(
                 (qa + kx > Kcov[:, None]) & (qa < BIGQ), axis=1
             )
-            jp2 = max(64, jp // 8)
+            # tier-2 pair budget: pairs beyond it keep tier-1 coverage and
+            # surface as n_viol. The S=4 multi-stream bench measured 50-71
+            # uncovered rows at jp//8 (gwin raises changed NOTHING —
+            # the overflow was this cap, not rounds); tier-2 round cost
+            # scales with jp2, so keep it proportional but floored higher.
+            jp2 = max(256, jp // 4)
             iota2 = jnp.arange(jp, dtype=jnp.int32)
             sel2 = _compact_by_sort(
                 jnp.where(undone, iota2, INT32_MAX), iota2, jp2, 0
