@@ -265,11 +265,24 @@ def _run_single(cfg, params, state, warm, iters, ref_exact=False):
     pipe = InferencePipeline(cfg, params, state)
     pipe.reset()
 
-    def step(buf, scan, n, tf, shift):
-        buf, out = pipe._step(pipe.params, pipe.state, buf, scan, n, tf, shift)
-        return (buf,) + _digest_and_gates(out)
+    # two compile units (motion | tail) — the one-unit step program
+    # OOM-kills the remote compile helper when vmapped and compiles 2x
+    # slower even single-stream (pipeline.py / model.py round-5)
+    def step_m(buf, scan, n, tf, shift):
+        return pipe._step_motion(
+            pipe.params, pipe.state, buf, scan, n, tf, shift
+        )
 
-    step = jax.jit(step, donate_argnums=(0,))
+    def step_t(inter):
+        out = pipe._step_tail(pipe.params, pipe.state, inter)
+        return _digest_and_gates(out)
+
+    step_m = jax.jit(step_m, donate_argnums=(0,))
+    step_t = jax.jit(step_t, donate_argnums=(0,))
+
+    def step(buf, scan, n, tf, shift):
+        buf, inter = step_m(buf, scan, n, tf, shift)
+        return (buf,) + step_t(inter)
 
     n_steps = warm + iters
     scans, ns, tfs, shifts = make_stream(
@@ -312,25 +325,42 @@ def _run_streams(cfg, params, state, warm, iters, S):
 
     from insmos_tpu.pipeline import PodInferencePipeline
 
+    from insmos_tpu.pipeline import InferencePipeline
+
     pipe = PodInferencePipeline(cfg, params, state, slots_per_device=S)
     assert pipe.n_slots == S, "bench expects the single-chip mesh"
     pipe.reset()
 
-    def step(buf, scan, n, tf, shift, active):
+    # two vmapped compile units (motion | tail): the one-unit vmapped step
+    # (~29 MB MLIR) OOM-killed the remote compile helper (round-5)
+    def step_m(buf, scan, n, tf, shift, active):
         def one(params, state, b, sc, nn, t, sh, act):
-            nb, out = pipe._single_step(params, state, b, sc, nn, t, sh)
+            nb, inter = pipe._single_step_motion(params, state, b, sc, nn, t, sh)
             nb = jax.tree.map(
                 lambda a, bb: jnp.where(jnp.reshape(act, (1,) * a.ndim), a, bb),
                 nb, b,
             )
-            return nb, out
+            return nb, inter
 
-        buf, out = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
+        return jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
             pipe.params, pipe.state, buf, scan, n, tf, shift, active
         )
-        return (buf,) + _digest_and_gates(out)
 
-    step = jax.jit(step, donate_argnums=(0,))
+    def step_t(inter):
+        out = jax.vmap(
+            lambda params, state, it: InferencePipeline._step_tail(
+                pipe, params, state, it
+            ),
+            in_axes=(None, None, 0),
+        )(pipe.params, pipe.state, inter)
+        return _digest_and_gates(out)
+
+    step_m = jax.jit(step_m, donate_argnums=(0,))
+    step_t = jax.jit(step_t, donate_argnums=(0,))
+
+    def step(buf, scan, n, tf, shift, active):
+        buf, inter = step_m(buf, scan, n, tf, shift, active)
+        return (buf,) + step_t(inter)
 
     n_steps = warm + iters
     # one raycast world per stream

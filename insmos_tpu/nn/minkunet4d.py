@@ -125,6 +125,41 @@ def _level_dims(dims3, factor):
     return tuple(cdiv(d, factor) for d in dims3)
 
 
+def _run_fresh_stem(params, state, cfg, c3_new, pv_new, dims1, span, chunk,
+                    bn, stats):
+    """T=1 stem pass over the NEW scan's own slab (~0.25x window sites).
+    Site capacity is the measured per-scan union (~48-55k voxels from a
+    ~125k-point scan), NOT the point capacity — config stem_scan_capacity.
+    Returns (nslab, p2slot_scan, fresh stem output)."""
+    scan_cap = cfg.model.motionnet.stem_scan_capacity
+    nslab, p2s, _, n_drop = build_slab(
+        c3_new, jnp.zeros(c3_new.shape[:1], jnp.int32), pv_new, dims1, 1,
+        scan_cap,
+    )
+    stats["dropped"].append(n_drop)
+    nslab = nslab.replace_feats(
+        (jnp.full((scan_cap, 1), 0.5, jnp.float32) * nslab.occ).astype(
+            jnp.float32
+        )
+    )
+    if span:
+        # fixture: 1635 live slots / min gwin 32 (tools/probe_gwin.py)
+        ntbl = make_span_plan(
+            nslab.keys, nslab.coords, nslab.valid, _K3_STEM, in_dims=dims1,
+            span=256, slots=2304, gwin=40, pairs=2048,
+        )
+        stats["span_overflow"].append(ntbl.n_overflow)
+    else:
+        ntbl = window_tables(
+            site_grid(nslab), dims1, nslab.coords, nslab.valid, _K3_STEM,
+            vin=scan_cap,
+        )
+    fresh, _ = subm_block_slab(
+        params["stem"], state["stem"], nslab, _K_STEM, ntbl, chunk=chunk, **bn
+    )
+    return nslab, p2s, fresh
+
+
 def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
                       span, chunk, bn, stem_cache, stats, cache_shift=None):
     """Fixed-frame streaming stem: T=1 pass on the new scan's slab + a
@@ -152,36 +187,11 @@ def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
     cap0 = x.capacity
     C = params["stem"]["conv"]["w"].shape[-1]
 
-    # fresh T=1 stem over the new scan's own slab (~0.25x sites). Site
-    # capacity is the measured per-scan union (~48-55k voxels from a ~125k
-    # point scan), NOT the point capacity — see config stem_scan_capacity.
+    nslab, _, fresh = _run_fresh_stem(
+        params, state, cfg, coords3.reshape(W, P, 3)[W - 1],
+        point_valid[W - 1], dims1, span, chunk, bn, stats,
+    )
     scan_cap = cfg.model.motionnet.stem_scan_capacity
-    c3_new = coords3.reshape(W, P, 3)[W - 1]
-    nslab, _, _, n_drop = build_slab(
-        c3_new, jnp.zeros((P,), jnp.int32), point_valid[W - 1], dims1, 1,
-        scan_cap,
-    )
-    stats["dropped"].append(n_drop)
-    nslab = nslab.replace_feats(
-        (jnp.full((scan_cap, 1), 0.5, jnp.float32) * nslab.occ).astype(
-            jnp.float32
-        )
-    )
-    if span:
-        # fixture: 1635 live slots / min gwin 32 (tools/probe_gwin.py)
-        ntbl = make_span_plan(
-            nslab.keys, nslab.coords, nslab.valid, _K3_STEM, in_dims=dims1,
-            span=256, slots=2304, gwin=40, pairs=2048,
-        )
-        stats["span_overflow"].append(ntbl.n_overflow)
-    else:
-        ntbl = window_tables(
-            site_grid(nslab), dims1, nslab.coords, nslab.valid, _K3_STEM,
-            vin=scan_cap,
-        )
-    fresh, _ = subm_block_slab(
-        params["stem"], state["stem"], nslab, _K_STEM, ntbl, chunk=chunk, **bn
-    )
 
     # cached slots: previous window's (site, t) -> this window's (site, t-1)
     n_iter = max(1, int(np.ceil(np.log2(cap0 + 1))))
@@ -218,6 +228,7 @@ def _incremental_stem(params, state, cfg, x, coords3, point_valid, dims1,
 def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                       train: bool, prune: bool | None = None,
                       stem_cache: dict | None = None, cache_shift=None,
+                      win_cache: dict | None = None,
                       emit_cache: bool = False):
     """points: (W, P, 4+) pose-aligned window; point_valid: (W, P).
 
@@ -243,34 +254,75 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
     caps = mc.site_capacities
 
     lo = jnp.asarray(mc.crop_range[:3], points.dtype)
-    xyz = points[..., :3].reshape(W * P, 3)
-    coords3 = jnp.floor((xyz - lo) * 10.0).astype(jnp.int32)  # 0.1 m voxels
-    tcol = jnp.broadcast_to(
-        jnp.arange(W, dtype=jnp.int32)[:, None], (W, P)
-    ).reshape(W * P)
+    stats = {"sites": [], "dropped": []}
+    ns = {}
+    bn = dict(bn_args=_bn_of(cfg), train=train)
+    span = use_span_engine(cfg, train)
+    if prune is None:
+        prune = not train
+    stats["span_overflow"] = []
 
-    slab1, p2slot, n1, drop1 = build_slab(
-        coords3, tcol, point_valid.reshape(W * P), dims1, W, caps[0]
-    )
+    # incrementally-maintained window site set (streaming fixed-frame
+    # mode): consecutive windows share 9/10 scans related by an integer-
+    # voxel translation, so the L1 slab is the previous step's site set
+    # SHIFTED + occupancy-rolled + merged with the new scan's sites — one
+    # (cap0 + scan_cap)-row sort replaces build_slab's W*P-point 3-key
+    # sort + occ scatter AND the stem cache's 2*cap0-row bisection merge
+    # (slab.maintain_window_slab; exact, tests/test_model.py).
+    maintained = stem_cache is not None and win_cache is not None
+    nslab = p2s_scan = fresh_stem = stem_shifted = new_pos = None
+    if maintained:
+        assert not train and prune
+        C0 = params["stem"]["conv"]["w"].shape[-1]
+        c3_new = jnp.floor(
+            (points[W - 1, :, :3] - lo) * 10.0
+        ).astype(jnp.int32)
+        nslab, p2s_scan, fresh_stem = _run_fresh_stem(
+            params, state, cfg, c3_new, point_valid[W - 1], dims1, span,
+            chunk, bn, stats,
+        )
+        from ..sparse.slab import maintain_window_slab
+        from ..sparse.tensor import KEY_SENTINEL as _SENTW
+
+        shift_arr = (
+            cache_shift if cache_shift is not None
+            else jnp.zeros((3,), jnp.int32)
+        )
+        keys1, coords1, occ1, stem_shifted, new_pos, n1, dropM = (
+            maintain_window_slab(
+                win_cache["keys"], win_cache["occ"], stem_cache["feats"],
+                nslab.keys, nslab.valid, shift_arr, dims1, W, C0, caps[0],
+            )
+        )
+        slab1 = Slab(
+            keys1, coords1, occ1, jnp.zeros((caps[0], 0), jnp.float32),
+            keys1 != _SENTW, dims1, W,
+        )
+        p2slot = None  # current-scan mapping built at the final gather
+        stats["sites"].append(n1)
+        stats["dropped"].append(dropM)
+    else:
+        xyz = points[..., :3].reshape(W * P, 3)
+        coords3 = jnp.floor((xyz - lo) * 10.0).astype(jnp.int32)  # 0.1 m
+        tcol = jnp.broadcast_to(
+            jnp.arange(W, dtype=jnp.int32)[:, None], (W, P)
+        ).reshape(W * P)
+        slab1, p2slot, n1, drop1 = build_slab(
+            coords3, tcol, point_valid.reshape(W * P), dims1, W, caps[0]
+        )
+        stats["sites"].append(n1)
+        stats["dropped"].append(drop1)
     x = slab1.replace_feats(
         (jnp.full((caps[0], W), 0.5, jnp.float32) * slab1.occ).astype(jnp.float32)
     )
 
-    stats = {"sites": [n1], "dropped": [drop1]}
-    ns = {}
-    bn = dict(bn_args=_bn_of(cfg), train=train)
-
     # ---- per-level site derivation, grids, tables/plans --------------
-    span = use_span_engine(cfg, train)
-    if prune is None:
-        prune = not train
     # decoder spatial pruning (span inference): only the current scan's
     # sites are consumed from the decoder (models/models.py:322-324), so
     # blocks 6/7/8 + up convs run on reach-2 halos of the current scan
     # per level instead of the full window unions (measured needed-site
     # ratios I1 0.47 / I2 0.55 / I4 0.68 — PERF.md round-4 lever).
     prune_dec = bool(prune and span and W > 1 and mc.decoder_prune)
-    stats["span_overflow"] = []
     slabs = {1: x}
     tables = {}
     down_tables = {}
@@ -438,7 +490,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                 gwin=gw, pairs=prs,
             )
     if span:
-        stats["span_overflow"] = [
+        stats["span_overflow"] = stats["span_overflow"] + [
             t.n_overflow
             for t in (
                 [tables["stem"]] if stem_cache is None else []
@@ -520,7 +572,24 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         return y, out_t0
 
     # ---------------- encoder ----------------
-    if stem_cache is not None:
+    if maintained:
+        # cache slots 0..W-2 were re-rowed by maintain_window_slab; write
+        # the fresh scan's stem output into slot W-1 at its merged rows
+        C0 = params["stem"]["conv"]["w"].shape[-1]
+        safe_new = jnp.where(
+            nslab.valid & (new_pos >= 0), new_pos, caps[0]
+        )
+        col = (
+            jnp.zeros((caps[0] + 1, C0), stem_shifted.dtype)
+            .at[safe_new].set(fresh_stem.feats, mode="drop")[: caps[0]]
+        )
+        merged = jax.lax.dynamic_update_slice(
+            stem_shifted, col, (0, (W - 1) * C0)
+        )
+        out_stem = x.replace_feats(merged)
+        out_stem = out_stem.replace_feats(out_stem.mask_feats())
+        ns["stem"] = state["stem"]
+    elif stem_cache is not None:
         assert not train, "incremental stem is an inference-only path"
         out_stem = _incremental_stem(
             params, state, cfg, x, coords3, point_valid, dims1, span, chunk,
@@ -533,6 +602,7 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         )
     if stem_cache is not None or emit_cache:
         stats["stem_cache"] = {"keys": x.keys, "feats": out_stem.feats}
+        stats["win"] = {"keys": slab1.keys, "occ": slab1.occ}
     y, ns["down1"] = subm_block_slab(
         params["down1"], state["down1"], out_stem, _K_DOWN, down_tables[2],
         out=slabs[2], chunk=chunk, with_occ=span, **bn,
@@ -611,8 +681,14 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         cur = per_point[W - 1]
     else:
         assert t_b8 == W - 1 and Tf == 1
-        p2s_cur = p2slot[(W - 1) * P :]
-        site_or_neg = jnp.where(p2s_cur >= 0, p2s_cur // W, -1)
+        if maintained:
+            # current points -> nslab site -> merged window row
+            sp = jnp.clip(p2s_scan, 0, new_pos.shape[0] - 1)
+            mrow = jnp.take(new_pos, sp)
+            site_or_neg = jnp.where((p2s_scan >= 0) & (mrow >= 0), mrow, -1)
+        else:
+            p2s_cur = p2slot[(W - 1) * P :]
+            site_or_neg = jnp.where(p2s_cur >= 0, p2s_cur // W, -1)
         if prune_dec:
             # map full-union site rows to pruned-halo rows by key match
             # (current-scan sites are in the halo by construction; a miss

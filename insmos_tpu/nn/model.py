@@ -40,6 +40,7 @@ class InsMOSModel:
 
     def forward(self, params, state, sample: dict, *, train: bool,
                 stem_cache: dict | None = None, cache_shift=None,
+                win_cache: dict | None = None,
                 emit_cache: bool = False) -> dict:
         """sample: dict of one WindowSample's arrays (no batch dim).
 
@@ -51,7 +52,28 @@ class InsMOSModel:
         integer-voxel window translation (cache queries are re-centered by
         it); `emit_cache` makes the full (non-incremental) stem also emit
         a cache, for streaming recovery after an incompatible pose step.
+
+        Composed as forward_motion + forward_tail so the streaming
+        pipeline can jit the two halves as SEPARATE compile units: the
+        one-unit step program (~29 MB MLIR) OOM-kills the remote TPU
+        compile helper once vmapped over serving slots (round-5), and the
+        split also halves iteration latency on every recompile.
         """
+        inter = self.forward_motion(
+            params, state, sample, train=train, stem_cache=stem_cache,
+            cache_shift=cache_shift, win_cache=win_cache,
+            emit_cache=emit_cache,
+        )
+        return self.forward_tail(params, state, inter, train=train)
+
+    def forward_motion(self, params, state, sample: dict, *, train: bool,
+                       stem_cache: dict | None = None, cache_shift=None,
+                       win_cache: dict | None = None,
+                       emit_cache: bool = False) -> dict:
+        """First compile unit: MotionNet + voxelize + compaction.
+
+        Returns the intermediate dict consumed by forward_tail (all
+        concrete arrays/pytrees — safe to pass across a jit boundary)."""
         from .layers import cast_compute
 
         cfg = self.cfg
@@ -67,7 +89,7 @@ class InsMOSModel:
         motion_cur, ns_motion, motion_stats = motionnet_forward(
             params["motion"], state["motion"], cfg, points, point_valid,
             train=train, stem_cache=stem_cache, cache_shift=cache_shift,
-            emit_cache=emit_cache,
+            win_cache=win_cache, emit_cache=emit_cache,
         )
 
         current = points[W - 1]  # (P, 4)
@@ -83,6 +105,36 @@ class InsMOSModel:
             cfg.model.unet_capacities[0],
             cfg.model.max_points_per_voxel,
         )
+        inter = {
+            "vox": vox,
+            "p2v": p2v,
+            "motion_cur": motion_cur,
+            "current": current,
+            "cur_valid": cur_valid,
+            "ns_motion": ns_motion,
+            "motion_dropped": jnp.stack(motion_stats["dropped"]),
+        }
+        if "span_overflow" in motion_stats and motion_stats["span_overflow"]:
+            inter["motion_span_overflow"] = list(
+                motion_stats["span_overflow"]
+            )
+        if "stem_cache" in motion_stats:
+            inter["stem_cache"] = motion_stats["stem_cache"]
+        if "win" in motion_stats:
+            inter["win"] = motion_stats["win"]
+        return inter
+
+    def forward_tail(self, params, state, inter: dict, *, train: bool) -> dict:
+        """Second compile unit: UNet + detection + fusion + devoxelize."""
+        from .layers import cast_compute
+
+        cfg = self.cfg
+        params = cast_compute(params, cfg.runtime.compute_dtype)
+        vox, p2v = inter["vox"], inter["p2v"]
+        motion_cur = inter["motion_cur"]
+        current = inter["current"]
+        cur_valid = inter["cur_valid"]
+        ns_motion = inter["ns_motion"]
         # post-voxelizer compaction (config.py unet_site_capacity): sites
         # are sorted-key with valid rows as a prefix, so the UNet working
         # set is a free slice; sliced-off voxels are counted + hard-gated
@@ -138,7 +190,7 @@ class InsMOSModel:
         in_grid = jnp.all((vc >= 0) & (vc < dims_arr[None, :]), axis=-1)
         vox_dropped = (p2v < 0) & cur_valid
         overflow = {
-            "motion_dropped": jnp.stack(motion_stats["dropped"]),
+            "motion_dropped": inter["motion_dropped"],
             "voxelizer_dropped": jnp.sum(vox_dropped),
             "voxelizer_out_of_range": jnp.sum(vox_dropped & ~in_grid),
             "voxelizer_capacity_dropped": jnp.sum(vox_dropped & in_grid),
@@ -148,15 +200,15 @@ class InsMOSModel:
         }
         # span-engine overflow: rows whose input span exceeded the kernel's
         # fetch window (contributions dropped — must be ~0 at ref scale)
-        span_ovf = motion_stats.get("span_overflow", []) + unet_stats.get(
+        span_ovf = list(inter.get("motion_span_overflow", [])) + unet_stats.get(
             "span_overflow", []
         )
         if span_ovf:
             overflow["span_overflow"] = jnp.stack(span_ovf)
 
         out_extra = (
-            {"stem_cache": motion_stats["stem_cache"]}
-            if "stem_cache" in motion_stats else {}
+            {"stem_cache": inter["stem_cache"]}
+            if "stem_cache" in inter else {}
         )
         return {
             **out_extra,

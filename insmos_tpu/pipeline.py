@@ -98,8 +98,12 @@ class PodInferencePipeline:
         self._buf = None
         self._incremental = bool(cfg.runtime.incremental_stem)
 
-        def one(params, state, buf, scan, n, tf, shift, active):
-            new_buf, out = self._single_step(
+        # the step is TWO jitted programs (motion | tail) — one-unit step
+        # programs OOM-kill the remote compile helper once vmapped over
+        # slots (~29 MB MLIR, round-5), and the split halves every
+        # recompile anyway (see InsMOSModel.forward docstring)
+        def one_m(params, state, buf, scan, n, tf, shift, active):
+            new_buf, inter = self._single_step_motion(
                 params, state, buf, scan, n, tf, shift
             )
             # inactive slots keep their window untouched
@@ -109,15 +113,22 @@ class PodInferencePipeline:
                 ),
                 new_buf, buf,
             )
-            return new_buf, out
+            return new_buf, inter
 
-        self._step_fn = jax.jit(
-            jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0, 0)),
+        def one_t(params, state, inter):
+            return InferencePipeline._step_tail(self, params, state, inter)
+
+        self._step_m_fn = jax.jit(
+            jax.vmap(one_m, in_axes=(None, None, 0, 0, 0, 0, 0, 0)),
             donate_argnums=(2,),
         )
+        self._step_t_fn = jax.jit(
+            jax.vmap(one_t, in_axes=(None, None, 0)), donate_argnums=(2,)
+        )
 
-    def _single_step(self, params, state, buf, new_scan, n_new, tf, shift):
-        return InferencePipeline._step(
+    def _single_step_motion(self, params, state, buf, new_scan, n_new, tf,
+                            shift):
+        return InferencePipeline._step_motion(
             self, params, state, buf, new_scan, n_new, tf,
             shift=shift if self._incremental else None,
         )
@@ -129,6 +140,9 @@ class PodInferencePipeline:
 
     def _run_model(self, *a, **kw):
         return InferencePipeline._run_model(self, *a, **kw)
+
+    def _sample_of(self, *a, **kw):
+        return InferencePipeline._sample_of(self, *a, **kw)
 
     def reset(self):
         cfg = self.cfg
@@ -150,6 +164,12 @@ class PodInferencePipeline:
             buf["stem_cache"] = {
                 "keys": jnp.full((S, cap), KEY_SENTINEL, jnp.int32),
                 "feats": jnp.zeros((S, cap, W * C), jnp.float32),
+            }
+            # incrementally-maintained window site set (slab.py
+            # maintain_window_slab); all-sentinel == empty window
+            buf["win"] = {
+                "keys": jnp.full((S, cap), KEY_SENTINEL, jnp.int32),
+                "occ": jnp.zeros((S, cap, W), bool),
             }
         self._buf = jax.device_put(buf, self._shard)
 
@@ -199,7 +219,7 @@ class PodInferencePipeline:
                     tf[:3, 3] = (k * vox).astype(np.float32)
                     shifts[i] = (-k).astype(np.int32)
                 tfa[i] = tf
-        self._buf, out = self._step_fn(
+        self._buf, inter = self._step_m_fn(
             self.params, self.state, self._buf,
             jax.device_put(padded, self._shard),
             jax.device_put(ns, self._shard),
@@ -207,7 +227,7 @@ class PodInferencePipeline:
             jax.device_put(shifts, self._shard),
             jax.device_put(act, self._shard),
         )
-        return out
+        return self._step_t_fn(self.params, self.state, inter)
 
 
 class InferencePipeline:
@@ -217,8 +237,12 @@ class InferencePipeline:
         self.params = jax.device_put(params)
         self.state = jax.device_put(state)
         self._buf = None
-        self._step_fn = jax.jit(self._step)
-        self._step_full_fn = jax.jit(self._step_full)
+        # two compile units per step (motion | tail) — see InsMOSModel
+        self._step_m_fn = jax.jit(self._step_motion, donate_argnums=(2,))
+        self._step_t_fn = jax.jit(self._step_tail, donate_argnums=(2,))
+        self._step_full_m_fn = jax.jit(
+            self._step_motion_full, donate_argnums=(2,)
+        )
         self.n_full_steps = 0  # incompatible-pose recoveries (observability)
 
     # ------------------------------------------------------------- state
@@ -239,6 +263,10 @@ class InferencePipeline:
             buf["stem_cache"] = {
                 "keys": jnp.full((cap,), KEY_SENTINEL, jnp.int32),
                 "feats": jnp.zeros((cap, W * C), jnp.float32),
+            }
+            buf["win"] = {
+                "keys": jnp.full((cap,), KEY_SENTINEL, jnp.int32),
+                "occ": jnp.zeros((cap, W), bool),
             }
         self._buf = jax.device_put(buf)
 
@@ -267,44 +295,67 @@ class InferencePipeline:
         return self.model.forward(params, state, sample, train=False, **fwd_kw)
 
     def _step(self, params, state, buf, new_scan, n_new, tf, shift=None):
-        """One streaming step. Returns (new_buf, outputs).
+        """One streaming step (motion + tail composed — see the split
+        methods below, which the deployment path jits separately).
+        Returns (new_buf, outputs).
 
         With cfg.runtime.incremental_stem, ``tf`` must keep the window in
         one fixed voxel frame: identity rotation and a translation of
         exactly ``shift`` voxels ((3,) int32; see fixed_frame_transform).
         push_scan verifies this on host and routes incompatible poses
-        through _step_full (full stem + cache rebuild) instead — the cache
-        is only valid under per-slot stationarity."""
-        cfg = self.cfg
-        pts, num, mask = self._roll_window(buf, new_scan, n_new, tf)
-        new_buf = {"points": pts, "num_points": num, "scan_mask": mask}
-        out = self._run_model(
-            params, state, cfg, pts, num, mask,
-            stem_cache=buf.get("stem_cache"), cache_shift=shift,
+        through the full-stem recovery step instead — the cache is only
+        valid under per-slot stationarity."""
+        new_buf, inter = self._step_motion(
+            params, state, buf, new_scan, n_new, tf, shift
         )
-        if "stem_cache" in buf:
-            new_buf["stem_cache"] = out["stem_cache"]
-        return new_buf, {
-            "point_logits": out["point_logits"],
-            "boxes": out["boxes"],
-            "scores": out["scores"],
-            "labels": out["labels"],
-            "box_mask": out["box_mask"],
-            "overflow": out["overflow"],
+        return new_buf, self._step_tail(params, state, inter)
+
+    def _sample_of(self, cfg, pts, num, mask):
+        return {
+            "points": pts,
+            "num_points": num,
+            "scan_mask": mask,
+            "labels": jnp.zeros(pts.shape[:2], jnp.int32),
+            "gt_boxes": jnp.zeros((cfg.model.head.max_objs, 8), jnp.float32),
+            "num_boxes": jnp.int32(0),
         }
 
-    def _step_full(self, params, state, buf, new_scan, n_new, tf):
-        """Recovery step for the incremental mode: runs the FULL stem over
-        the whole window (correct under ANY rigid tf) and rebuilds the
-        stem cache so streaming can continue incrementally afterwards."""
+    def _step_motion(self, params, state, buf, new_scan, n_new, tf,
+                     shift=None):
+        """Compile unit 1: window roll + MotionNet + voxelize."""
         cfg = self.cfg
         pts, num, mask = self._roll_window(buf, new_scan, n_new, tf)
         new_buf = {"points": pts, "num_points": num, "scan_mask": mask}
-        out = self._run_model(
-            params, state, cfg, pts, num, mask, emit_cache=True
+        inter = self.model.forward_motion(
+            params, state, self._sample_of(cfg, pts, num, mask),
+            train=False, stem_cache=buf.get("stem_cache"), cache_shift=shift,
+            win_cache=buf.get("win"),
         )
-        new_buf["stem_cache"] = out["stem_cache"]
-        return new_buf, {
+        if "stem_cache" in buf:
+            new_buf["stem_cache"] = inter["stem_cache"]
+        if "win" in buf:
+            new_buf["win"] = inter["win"]
+        return new_buf, inter
+
+    def _step_motion_full(self, params, state, buf, new_scan, n_new, tf):
+        """Recovery variant for the incremental mode: FULL stem over the
+        whole window (correct under ANY rigid tf), rebuilding the stem
+        cache so streaming can continue incrementally afterwards."""
+        cfg = self.cfg
+        pts, num, mask = self._roll_window(buf, new_scan, n_new, tf)
+        new_buf = {"points": pts, "num_points": num, "scan_mask": mask}
+        inter = self.model.forward_motion(
+            params, state, self._sample_of(cfg, pts, num, mask),
+            train=False, emit_cache=True,
+        )
+        new_buf["stem_cache"] = inter["stem_cache"]
+        new_buf["win"] = inter["win"]
+        return new_buf, inter
+
+    def _step_tail(self, params, state, inter):
+        """Compile unit 2: UNet + detection + fusion + outputs."""
+        out = self.model.forward_tail(params, state, inter, train=False)
+        return {
             "point_logits": out["point_logits"],
             "boxes": out["boxes"],
             "scores": out["scores"],
@@ -345,23 +396,23 @@ class InferencePipeline:
                 tf_snap[:3, 3] = (k * vox).astype(np.float32)
                 # site coords in the previous frame = coords + (-k)
                 shift = jnp.asarray(-k, jnp.int32)
-                self._buf, out = self._step_fn(
+                self._buf, inter = self._step_m_fn(
                     self.params, self.state, self._buf,
                     jnp.asarray(padded), jnp.int32(n_raw),
                     jnp.asarray(tf_snap), shift,
                 )
             else:
                 self.n_full_steps += 1
-                self._buf, out = self._step_full_fn(
+                self._buf, inter = self._step_full_m_fn(
                     self.params, self.state, self._buf,
                     jnp.asarray(padded), jnp.int32(n_raw), jnp.asarray(tf),
                 )
-            return out
-        self._buf, out = self._step_fn(
+            return self._step_t_fn(self.params, self.state, inter)
+        self._buf, inter = self._step_m_fn(
             self.params, self.state, self._buf,
             jnp.asarray(padded), jnp.int32(n_raw), jnp.asarray(tf),
         )
-        return out
+        return self._step_t_fn(self.params, self.state, inter)
 
     @staticmethod
     def fetch(out: dict, n_raw: int) -> dict[str, np.ndarray]:

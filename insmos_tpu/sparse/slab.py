@@ -212,6 +212,111 @@ def build_slab(
     return slab, p2slot, n_sites, n_dropped
 
 
+def maintain_window_slab(
+    prev_keys,  # (cap0,) int32 sorted prev-frame site keys (sentinel pad)
+    prev_occ,  # (cap0, W) bool prev window occupancy
+    prev_stem,  # (cap0, W*C) prev stem-cache feats
+    nslab_keys,  # (scan_cap,) int32 sorted NEW scan's site keys (new frame)
+    nslab_valid,  # (scan_cap,) bool
+    shift,  # (3,) int32: prev-frame coords = new-frame coords + shift
+    dims,
+    W: int,
+    C: int,
+    capacity: int,
+):
+    """Incrementally maintain the streaming window's L1 site slab.
+
+    Consecutive fixed-frame windows share 9/10 scans related by a pure
+    integer-voxel translation, so instead of re-sorting all W*P window
+    points per step (build_slab: a 1.3M-row 3-key sort + occupancy
+    scatter) and key-matching the stem cache by a 2*cap0-row bisection
+    merge (_incremental_stem), this shifts the PREVIOUS step's site keys
+    by the translation, rolls its occupancy one slot (dropping the oldest
+    scan and any site left unoccupied), and merges the new scan's sorted
+    site set — one (cap0 + scan_cap)-row sort. The maintained set equals
+    the full rebuild's window union exactly (translation of integer keys
+    is exact; the full path re-quantizes f32-translated points, which can
+    flip boundary-exact points — the maintained set is the more exact of
+    the two).
+
+    Returns (site_keys, coords, occ, stem_shifted, new_pos, n_sites,
+    n_dropped): stem_shifted holds cache slots 0..W-2 re-rowed to the new
+    site order (slot W-1 zero — the caller writes the fresh scan's stem
+    output at rows new_pos[i] for nslab row i).
+    """
+    cap0 = prev_keys.shape[0]
+    scan_cap = nslab_keys.shape[0]
+
+    # shift previous sites into the new frame (exact integer translation)
+    pc = delinearize3(jnp.where(prev_keys != KEY_SENTINEL, prev_keys, 0), dims)
+    nc = pc - shift[None, :]
+    shifted = linearize3(nc, dims)  # OOB -> sentinel
+    occ_roll = jnp.concatenate(
+        [prev_occ[:, 1:], jnp.zeros((cap0, 1), bool)], axis=1
+    )
+    keep_old = (
+        (prev_keys != KEY_SENTINEL)
+        & (shifted != KEY_SENTINEL)
+        & jnp.any(occ_roll, axis=1)
+    )
+    k_old = jnp.where(keep_old, shifted, KEY_SENTINEL)
+    k_new = jnp.where(nslab_valid, nslab_keys, KEY_SENTINEL)
+
+    vals = jnp.concatenate([k_old, k_new])
+    # old rows sort before new on key ties (stable sort + order of concat)
+    payload = jnp.arange(cap0 + scan_cap, dtype=jnp.int32)
+    sv, spl = jax.lax.sort((vals, payload), num_keys=1)
+    alive = sv != KEY_SENTINEL
+    first = jnp.concatenate([jnp.ones((1,), bool), sv[1:] != sv[:-1]]) & alive
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_sites = jnp.max(jnp.where(first, rank + 1, 0))
+    in_cap = alive & (rank < capacity)
+    n_dropped = jnp.maximum(n_sites - capacity, 0)
+
+    site_keys = _compact_by_sort(
+        jnp.where(first & in_cap, rank, INT32_MAX), sv, capacity, KEY_SENTINEL
+    )
+    site_keys = jnp.where(
+        jnp.arange(capacity) < jnp.minimum(n_sites, capacity),
+        site_keys, KEY_SENTINEL,
+    )
+    valid = site_keys != KEY_SENTINEL
+    coords = jnp.where(
+        valid[:, None], delinearize3(jnp.where(valid, site_keys, 0), dims), 0
+    )
+
+    # per-source destination rows (unsort the ranks)
+    dest_sorted = jnp.where(in_cap, rank, -1)
+    _, dest = jax.lax.sort((spl, dest_sorted), num_keys=1)
+    old_pos = dest[:cap0]  # (cap0,) merged row or -1
+    new_pos = dest[cap0:]  # (scan_cap,)
+
+    # occupancy + shifted stem cache, re-rowed by scatter (unique rows)
+    safe_old = jnp.where(keep_old & (old_pos >= 0), old_pos, capacity)
+    occ = (
+        jnp.zeros((capacity + 1, W), bool)
+        .at[safe_old].set(occ_roll, mode="drop")[:capacity]
+    )
+    occ = occ.at[:, W - 1].set(valid & False)  # slot W-1 filled below
+    new_occ_rows = jnp.where(nslab_valid & (new_pos >= 0), new_pos, capacity)
+    occ = (
+        jnp.concatenate([occ, jnp.zeros((1, W), bool)])
+        .at[new_occ_rows, W - 1].set(True, mode="drop")[:capacity]
+    )
+    stem_rolled = jnp.concatenate(
+        [
+            prev_stem[:, C:],
+            jnp.zeros((cap0, C), prev_stem.dtype),
+        ],
+        axis=1,
+    )
+    stem_shifted = (
+        jnp.zeros((capacity + 1, W * C), prev_stem.dtype)
+        .at[safe_old].set(stem_rolled, mode="drop")[:capacity]
+    )
+    return site_keys, coords, occ, stem_shifted, new_pos, n_sites, n_dropped
+
+
 def slab_from_sparse(x) -> Slab:
     """SparseTensor (3D) -> Slab with T=1 (shared site machinery)."""
     return Slab(

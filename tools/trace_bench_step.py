@@ -30,11 +30,19 @@ def main():
     pipe = InferencePipeline(cfg, params, state)
     pipe.reset()
 
-    def step(buf, scan, n, tf, shift):
-        buf, out = pipe._step(pipe.params, pipe.state, buf, scan, n, tf, shift)
-        return (buf,) + _digest_and_gates(out)
+    def step_m(buf, scan, n, tf, shift):
+        return pipe._step_motion(pipe.params, pipe.state, buf, scan, n, tf, shift)
 
-    step = jax.jit(step, donate_argnums=(0,))
+    def step_t(inter):
+        out = pipe._step_tail(pipe.params, pipe.state, inter)
+        return _digest_and_gates(out)
+
+    step_m = jax.jit(step_m, donate_argnums=(0,))
+    step_t = jax.jit(step_t, donate_argnums=(0,))
+
+    def step(buf, scan, n, tf, shift):
+        buf, inter = step_m(buf, scan, n, tf, shift)
+        return (buf,) + step_t(inter)
     warm, iters = 12, 2
     scans, ns, tfs, shifts = make_stream(cfg, warm + iters, seed=0)
     scans = [jax.device_put(s) for s in scans]
