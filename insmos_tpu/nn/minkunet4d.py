@@ -146,7 +146,7 @@ def _run_fresh_stem(params, state, cfg, c3_new, pv_new, dims1, span, chunk,
         # fixture: 1635 live slots / min gwin 32 (tools/probe_gwin.py)
         ntbl = make_span_plan(
             nslab.keys, nslab.coords, nslab.valid, _K3_STEM, in_dims=dims1,
-            span=256, slots=2304, gwin=40, pairs=2048,
+            span=192, slots=3072, gwin=40, pairs=2560,
         )
         stats["span_overflow"].append(ntbl.n_overflow)
     else:
@@ -363,14 +363,18 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
                     dict(
                         out_coords=s_in.coords, out_valid=s_in.valid,
                         kernel3=_K3_BLOCK, in_dims=dims[fin], bs=128,
-                        span=256,
+                        # span 192: extraction FLOPs and span DMA scale
+                        # with span; greedy coverage absorbs the extra
+                        # jump pairs (budgets re-validated on all stream
+                        # worlds, tools/validate_plan_budgets.py)
+                        span=192,
                         # block@L1 gwin stays high: the ref-exact bench
                         # stream measured a far-field pair needing >48
                         # windows (108 uncovered rows) that the static
                         # fixture (even rotated) never shows; tier-2
                         # rounds on the compacted pair set cost ~40 us
                         # each, so the safety is cheap
-                        slots={1: 3200, 2: 1280, 4: 384}[fin],
+                        slots={1: 3200, 2: 1536, 4: 512}[fin],
                         gwin={1: 64, 2: 32, 4: 24}[fin],
                         pairs={1: 3072, 2: 1024, 4: 512}[fin],
                     )
@@ -482,11 +486,11 @@ def motionnet_forward(params, state, cfg: Config, points, point_valid, *,
         # with gwin 24, and tier-2 greedy rounds run on a compacted pair
         # set (~40 us each) so the safety is cheap. Hard-gated at 0.
         for lvl, (slts, gw, prs) in (
-            (1, (1792, 48, 2048)), (2, (768, 32, 768)), (4, (384, 40, 384))
+            (1, (2304, 48, 2048)), (2, (1024, 32, 768)), (4, (512, 40, 384))
         ):
             dec_tbl[lvl] = make_span_plan(
                 dec_tpl[lvl].keys, dec_tpl[lvl].coords, dec_tpl[lvl].valid,
-                _K3_BLOCK, in_dims=dims[lvl], bs=128, span=256, slots=slts,
+                _K3_BLOCK, in_dims=dims[lvl], bs=128, span=192, slots=slts,
                 gwin=gw, pairs=prs,
             )
     if span:

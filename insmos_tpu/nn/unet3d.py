@@ -200,7 +200,7 @@ def unet3d_forward(
                     # n_overflow == 0, so regressions fail loudly)
                     dict(
                         out_coords=s_in.coords, out_valid=s_in.valid,
-                        kernel3=_K3, in_dims=dims[fin], bs=128, span=256,
+                        kernel3=_K3, in_dims=dims[fin], bs=128, span=192,
                         # L1 budgets carry extra slack: the ref-exact bench
                         # stream (rotating heading, per-step re-voxelized)
                         # measured 21 uncovered rows at slots=768/gwin=32
@@ -209,7 +209,7 @@ def unet3d_forward(
                         # L2/L4 gwin raised: the S=4 multi-stream bench
                         # (different worlds) measured 3 uncovered rows at
                         # the UNet L2 block plan with gwin 24
-                        slots={1: 1280, 2: 512, 4: 256}[fin],
+                        slots={1: 1536, 2: 768, 4: 384}[fin],
                         gwin={1: 48, 2: 32, 4: 24}[fin],
                         pairs={1: 1024, 2: 512, 4: 256}[fin],
                     ),

@@ -126,8 +126,8 @@ def check_plans(cfg, pts, nums, mask):
         if fin != 1:
             p = make_span_plan(
                 s_in.keys, s_in.coords, s_in.valid, _K3_BLOCK,
-                in_dims=dims[fin], bs=128, span=256,
-                slots={2: 1280, 4: 384}[fin],
+                in_dims=dims[fin], bs=128, span=192,
+                slots={2: 1536, 4: 512}[fin],
                 gwin={2: 32, 4: 24}[fin], pairs={2: 1024, 4: 512}[fin],
             )
             out.append((f"motion block L{fin}", p.n_overflow))
@@ -153,7 +153,7 @@ def check_plans(cfg, pts, nums, mask):
     out.append(("stem_scan_drop", nd))
     p = make_span_plan(
         nslab.keys, nslab.coords, nslab.valid, _K3_STEM, in_dims=dims1,
-        span=256, slots=2304, gwin=40, pairs=2048,
+        span=192, slots=3072, gwin=40, pairs=2560,
     )
     out.append(("stem(scan)", p.n_overflow))
     # decoder-pruned plans (deployed budgets)
@@ -181,12 +181,12 @@ def check_plans(cfg, pts, nums, mask):
     )
     out.append(("dec halo L4 drop", nov))
     for name, (k, c, v, dimsL), (slts, gw, prs) in (
-        ("dec L1", (k1, c1, v1, dims[1]), (1792, 48, 2048)),
-        ("dec L2", (k2, c2, v2, dims[2]), (768, 32, 768)),
-        ("dec L4", (k4, c4, v4, dims[4]), (384, 40, 384)),
+        ("dec L1", (k1, c1, v1, dims[1]), (2304, 48, 2048)),
+        ("dec L2", (k2, c2, v2, dims[2]), (1024, 32, 768)),
+        ("dec L4", (k4, c4, v4, dims[4]), (512, 40, 384)),
     ):
         p = make_span_plan(
-            k, c, v, _K3_BLOCK, in_dims=dimsL, bs=128, span=256, slots=slts,
+            k, c, v, _K3_BLOCK, in_dims=dimsL, bs=128, span=192, slots=slts,
             gwin=gw, pairs=prs,
         )
         out.append((name, p.n_overflow))
@@ -224,8 +224,8 @@ def check_plans(cfg, pts, nums, mask):
         nxt = slab_from_sparse(sites.sites())
         p = make_span_plan(
             s_in.keys, s_in.coords, s_in.valid, (3, 3, 3),
-            in_dims=udims[fin], bs=128, span=256,
-            slots={1: 1280, 2: 512, 4: 256}[fin],
+            in_dims=udims[fin], bs=128, span=192,
+            slots={1: 1536, 2: 768, 4: 384}[fin],
             gwin={1: 48, 2: 32, 4: 24}[fin],
             pairs={1: 1024, 2: 512, 4: 256}[fin],
         )
